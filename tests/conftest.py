@@ -1,0 +1,35 @@
+"""Test configuration.
+
+Tests run on CPU with a virtual 8-device mesh so that sharding/pjit code paths
+are exercised without TPU hardware (SURVEY.md §4 "Distributed" bullet).
+
+Note: the environment's sitecustomize imports jax at interpreter startup and
+registers a TPU backend, so we cannot rely on env vars alone — we switch the
+platform via jax.config before any backend is initialized.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
