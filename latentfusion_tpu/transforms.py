@@ -1,0 +1,98 @@
+"""Volume <-> camera-frustum resampling transforms.
+
+Behavioral reference: ``latentfusion/modules/geometry.py:593-690``
+(``CameraToObjectTransform`` / ``ObjectToCameraTransform``). These have no
+parameters, so they are plain functions here; they sit inside every
+encoder/decoder forward and every pose-refinement step (the hot loop).
+
+Conventions replicated exactly from the reference (trained checkpoints
+depend on them):
+
+- the object cube spans ``[-cube_size/2, cube_size/2]`` with meshgrid order
+  (z, y, x) stacked as (x, y, z);
+- camera->object: grid z coordinate is ``(z - znear) / (zfar - znear)``
+  (range [0, 1], NOT [-1, 1]) — geometry.py:652;
+- object->camera: frustum voxel z spans ``[znear, znear + z_span]``
+  (half the window) via ``Camera.camera_coords`` — geometry.py:491.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .camera import Camera
+from .ops.grid_sample import grid_sample_3d
+
+
+def get_obj_coords(cube_size: float, size: int) -> jnp.ndarray:
+    """Homogeneous object-cube voxel coordinates, (size^3, 4)
+    (reference: geometry.py:599-611)."""
+    lin = jnp.linspace(-cube_size / 2, cube_size / 2, size)
+    z, y, x = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    ones = jnp.ones_like(x)
+    return jnp.stack((x, y, z, ones), axis=-1).reshape(-1, 4)
+
+
+def camera_to_object(cam_volume: jnp.ndarray, camera: Camera,
+                     cube_size: float = 1.0,
+                     padding_mode: str = "border") -> jnp.ndarray:
+    """Unproject a camera-frustum volume onto the canonical object cube
+    (reference: geometry.py:614-657).
+
+    Args:
+        cam_volume: (B, C, D, H, W) camera-space features (D == H == W).
+        camera: batch-B Camera.
+    Returns:
+        (B, C, S, S, S) object-space volume, S = cam_volume spatial size.
+    """
+    size = cam_volume.shape[-1]
+    b = cam_volume.shape[0]
+    obj_coords = get_obj_coords(cube_size, size)  # (S^3, 4)
+    obj_coords = jnp.broadcast_to(obj_coords.T[None], (b, 4, obj_coords.shape[0]))
+    cam_coords = camera.obj_to_cam @ obj_coords
+
+    # Project onto the camera volume: x,y are pixel coords (perspective
+    # divided), z remains the undivided camera depth.
+    pixel_coords = camera.intrinsic @ cam_coords
+    xy = pixel_coords[:, :2] / pixel_coords[:, 2:3]
+    z = pixel_coords[:, 2]
+
+    znear = camera.znear[:, None]
+    zfar = camera.zfar[:, None]
+
+    grid_coords = jnp.stack(
+        (
+            (xy[:, 0] - camera.viewport[:, 0, None]) / camera.viewport_width[:, None] * 2 - 1,
+            (xy[:, 1] - camera.viewport[:, 1, None]) / camera.viewport_height[:, None] * 2 - 1,
+            (z - znear) / (zfar - znear),
+        ),
+        axis=-1,
+    )
+    grid = grid_coords.reshape(-1, size, size, size, 3)
+    return grid_sample_3d(cam_volume, grid, padding_mode=padding_mode)
+
+
+def object_to_camera(obj_volume: jnp.ndarray, camera: Camera,
+                     cube_size: float = 1.0,
+                     padding_mode: str = "border") -> jnp.ndarray:
+    """Sample the object cube at camera-frustum voxel centers
+    (reference: geometry.py:660-690).
+
+    Args:
+        obj_volume: (B or 1, C, S, S, S) object-space features; broadcast to
+            the camera batch if B == 1.
+    Returns:
+        (len(camera), C, S, S, S) camera-space volume.
+    """
+    size = obj_volume.shape[-1]
+    x_cam, y_cam, z_cam = camera.camera_coords(size)
+    cam_coords = jnp.stack(
+        (x_cam, y_cam, z_cam, jnp.ones_like(x_cam)), axis=-1
+    ).reshape(camera.length, -1, 4)
+    obj_coords = camera.cam_to_obj @ jnp.swapaxes(cam_coords, 2, 1)
+    obj_coords = jnp.swapaxes(obj_coords[:, :3, :], 1, 2)
+    grid_coords = obj_coords / (cube_size / 2)
+    grid = grid_coords.reshape(-1, size, size, size, 3)
+
+    obj_volume = jnp.broadcast_to(
+        obj_volume, (camera.length, *obj_volume.shape[1:]))
+    return grid_sample_3d(obj_volume, grid, padding_mode=padding_mode)
