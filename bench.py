@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Benchmark: pose hypotheses/sec/chip in the gradient-refinement inner loop.
+
+This measures the BASELINE.json north-star axis: hypothesis renders per
+second through the flagship latent decoder inside the jitted
+render-compare-refine loop (the reference's estimation.py:601-677 inner loop,
+which interleaves Python per-hypothesis optimizers with GPU renders).
+
+One JSON line is printed:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is measured throughput divided by an *estimated* RTX 2080 Ti
+reference throughput, computed from the decoder's actual forward FLOPs
+(jax cost analysis): ref = PEAK_2080TI_FP32 * UTIL / (3 * fwd_flops) —
+the reference runs pose refinement in fp32 (autocast only during training,
+reference: recon/models.py:199,405), fwd+bwd ~ 3x fwd, and we credit it a
+generous 40% sustained utilization while ignoring its CPU<->GPU GMM/optimizer
+ping-pong. >1.0 means faster than the estimated baseline; the >=5.0 goal is
+the BASELINE.json target.
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+PEAK_2080TI_FP32 = 13.45e12
+ASSUMED_REF_UTILIZATION = 0.40
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true", help="force CPU")
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny model (smoke test)")
+    parser.add_argument("--hypotheses", type=int, default=8,
+                        help="adam_quick uses 8 (reference config)")
+    parser.add_argument("--iters", type=int, default=50)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+
+    import jax.numpy as jnp
+
+    from latentfusion_tpu import testing, zoo
+    from latentfusion_tpu.pose import estimation
+    from latentfusion_tpu.pose import utils as pu
+    from latentfusion_tpu.recon.inference import LatentFusionModel
+
+    key = jax.random.PRNGKey(0)
+
+    if args.tiny:
+        photographer = zoo.tiny_photographer()
+        latent_shape = (1, 1, 4, 8, 8, 8)
+        input_size = 16
+    else:
+        photographer = zoo.flagship_photographer()
+        latent_shape = (1, 1, 256, 16, 16, 16)
+        input_size = zoo.FLAGSHIP_INPUT_SIZE
+
+    camera_dist = 1.5
+
+    # Everything below is wrapped in jit: on the tunneled TPU backend each
+    # eager op is a remote-compile round trip (see .claude/skills/verify).
+    @jax.jit
+    def setup(key):
+        cam0 = zoo.canonical_camera(1, input_size, camera_dist=camera_dist,
+                                    key=jax.random.PRNGKey(3))
+        z_obj = jax.random.normal(key, latent_shape) * 0.1
+        return cam0, z_obj
+
+    print("# setup...", file=sys.stderr)
+    cam0, z_obj = setup(key)
+    z = jnp.zeros((args.hypotheses, latent_shape[2], *latent_shape[3:]))
+    print("# init params...", file=sys.stderr)
+    ph_params = jax.jit(photographer.init)(
+        key, z, cam0.repeat(args.hypotheses).zoom(None, input_size,
+                                                  camera_dist))
+
+    model = LatentFusionModel(
+        sculptor=zoo.flagship_sculptor(input_size) if not args.tiny
+        else zoo.tiny_sculptor(),
+        sculptor_params={}, fuser=zoo.flagship_fuser() if not args.tiny
+        else zoo.tiny_fuser(), fuser_params={},
+        photographer=photographer, photographer_params=ph_params,
+        camera_dist=camera_dist)
+    # Avoid initializing unused encoder params for the decode-only benchmark.
+    model.input_size = input_size
+
+    # Synthetic full-frame target observation (analytic ellipsoid).
+    oracle = testing.EllipsoidOracleModel(input_size=input_size,
+                                          camera_dist=camera_dist)
+    print("# target observation...", file=sys.stderr)
+    target_obs = jax.jit(oracle.make_observation)(cam0)
+
+    # adam_quick-shaped refinement, early stop disabled for stable timing.
+    est = estimation.GradientPoseEstimator(
+        model=model, ranking_size=args.hypotheses,
+        loss_weights={"depth": 1.0, "ov_depth": 0.3},
+        learning_rate=0.01, num_samples=args.hypotheses,
+        num_iters=args.iters, converge_threshold=-1.0,
+        converge_patience=args.iters + 1, optimizer="adam")
+
+    print("# hypothesis cameras...", file=sys.stderr)
+    init_cam = jax.jit(lambda: pu.sample_cameras_with_estimate(
+        args.hypotheses, cam0, key=jax.random.PRNGKey(1)))()
+
+    # Forward FLOPs of one decode for the baseline estimate.
+    zoom_cam = jax.jit(
+        lambda c: c.zoom(None, input_size, camera_dist))(init_cam)
+    decode_jit = jax.jit(lambda p, zo, c: model.decode_latent(zo, c)[0]["depth"])
+    lowered = decode_jit.lower(ph_params, z_obj, zoom_cam)
+    try:
+        fwd_flops = lowered.compile().cost_analysis()["flops"]
+    except Exception:
+        fwd_flops = float("nan")
+
+    # Warmup (compile).
+    print("# compiling refinement loop...", file=sys.stderr)
+    t0 = time.time()
+    jax.block_until_ready(
+        est.estimate(z_obj, target_obs, camera=init_cam).translation)
+    print(f"# compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    result = est.estimate(z_obj, target_obs, camera=init_cam)
+    jax.block_until_ready(result.translation)
+    elapsed = time.time() - t0
+
+    hyp_renders = args.hypotheses * args.iters
+    hyp_per_sec = hyp_renders / elapsed
+
+    if fwd_flops == fwd_flops:  # not nan
+        ref_hyp_per_sec = (PEAK_2080TI_FP32 * ASSUMED_REF_UTILIZATION
+                           / (3.0 * fwd_flops))
+        vs_baseline = hyp_per_sec / ref_hyp_per_sec
+    else:
+        ref_hyp_per_sec = float("nan")
+        vs_baseline = float("nan")
+
+    print(json.dumps({
+        "metric": "pose_hypotheses_per_sec_per_chip",
+        "value": round(hyp_per_sec, 2),
+        "unit": "hypothesis-renders/s (fwd+bwd, flagship decoder, "
+                f"{args.hypotheses} hyp x {args.iters} iters)",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline
+        else None,
+    }))
+    print(f"# elapsed={elapsed:.3f}s fwd_flops/hyp="
+          f"{fwd_flops / args.hypotheses if fwd_flops == fwd_flops else 'n/a'} "
+          f"est_2080ti={ref_hyp_per_sec:.2f} hyp/s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,9 +26,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NOTE: no persistent compilation cache for CPU tests — the sandbox may move
+# between hosts with different CPU features, and stale AOT entries spam
+# feature-mismatch errors (and risk SIGILL).
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
