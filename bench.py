@@ -33,6 +33,8 @@ ASSUMED_REF_UTILIZATION = 0.40
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true", help="force CPU")
+    parser.add_argument("--fp32", action="store_true",
+                        help="disable bf16 conv compute")
     parser.add_argument("--tiny", action="store_true",
                         help="tiny model (smoke test)")
     parser.add_argument("--hypotheses", type=int, default=8,
@@ -47,6 +49,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 
     import jax.numpy as jnp
+
+    from latentfusion_tpu import dtypes
+
+    if not args.fp32:
+        dtypes.set_compute_dtype("bfloat16")
 
     from latentfusion_tpu import testing, zoo
     from latentfusion_tpu.pose import estimation
@@ -117,7 +124,9 @@ def main():
     decode_jit = jax.jit(lambda p, zo, c: model.decode_latent(zo, c)[0]["depth"])
     lowered = decode_jit.lower(ph_params, z_obj, zoom_cam)
     try:
-        fwd_flops = lowered.compile().cost_analysis()["flops"]
+        # Pre-compile HLO cost analysis (compiling here costs minutes on the
+        # remote-compile TPU backend and is not needed for a FLOP count).
+        fwd_flops = lowered.cost_analysis()["flops"]
     except Exception:
         fwd_flops = float("nan")
 

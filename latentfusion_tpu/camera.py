@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from . import three
+from .ops.affine_resample import bbox_source_coords, separable_resample_2d
 from .ops.grid_sample import grid_sample_2d
 from .three import quaternion as quat
 from .three.batchview import b2bv, bv2b
@@ -277,26 +278,25 @@ class Camera:
         viewport_height = self.viewport_height * scale
         viewport_width = self.viewport_width * scale
 
-        yy, xx = jnp.meshgrid(
-            jnp.arange(height, dtype=jnp.float32),
-            jnp.arange(width, dtype=jnp.float32),
-            indexing="ij",
-        )
-        yy = jnp.broadcast_to(yy[None], (image.shape[0], height, width))
-        xx = jnp.broadcast_to(xx[None], (image.shape[0], height, width))
-        yy = (yy - viewport[:, 1, None, None]) / viewport_height[:, None, None] * 2 - 1
-        xx = (xx - viewport[:, 0, None, None]) / viewport_width[:, None, None] * 2 - 1
-        grid = jnp.stack((xx, yy), axis=-1)
+        # Axis-separable resample: two per-axis interpolation matmuls (MXU)
+        # instead of a 2D gather; exact grid_sample semantics (see
+        # ops/affine_resample.py). Full-frame pixel i maps to crop pixel
+        # (i - vp_min) / vp_size * crop_size - 0.5.
+        rows = jnp.arange(height, dtype=jnp.float32)[None]
+        cols = jnp.arange(width, dtype=jnp.float32)[None]
+        h_img, w_img = image.shape[-2], image.shape[-1]
+        src_y = (rows - viewport[:, 1:2]) / viewport_height[:, None] * h_img - 0.5
+        src_x = (cols - viewport[:, 0:1]) / viewport_width[:, None] * w_img - 0.5
         return (
-            grid_sample_2d(image, grid, mode=scale_mode, padding_mode="border"),
+            separable_resample_2d(image, src_y, src_x, mode=scale_mode,
+                                  padding_mode="border"),
             new_cam,
         )
 
     def crop_to_viewport(self, image, target_size: int, scale_mode: str = "nearest"):
         """(reference: geometry.py:287-292)"""
-        grid = bboxes_to_grid(self.viewport, (self.height, self.width),
-                              (target_size, target_size))
-        return grid_sample_2d(image, grid, mode=scale_mode)
+        src_y, src_x = bbox_source_coords(self.viewport, target_size)
+        return separable_resample_2d(image, src_y, src_x, mode=scale_mode)
 
     def zoom(self, image, target_size: int, target_dist, target_fu=None,
              target_fv=None, image_scale: float = 1.0, zs=None,
@@ -348,9 +348,8 @@ class Camera:
         if image is None:
             return camera_new
 
-        grids = bboxes_to_grid(boxes, (self.height, self.width),
-                               (target_size, target_size))
-        image_new = grid_sample_2d(image, grids, mode=scale_mode)
+        src_y, src_x = bbox_source_coords(boxes, target_size)
+        image_new = separable_resample_2d(image, src_y, src_x, mode=scale_mode)
         return image_new, camera_new
 
     # ---------------------------------------------------------------- coords

@@ -1,0 +1,107 @@
+"""Host-side data loading: multiprocessing render workers + device prefetch.
+
+The reference uses torch DataLoader worker processes, each owning an EGL
+renderer (reference: trainutils.py:231-241, pyrender.py:289-296), plus
+determinism hacks (WorkerPreservingDataLoader, torchutils.py:237-269). Here:
+plain multiprocessing workers own a native rasterizer each and feed a queue;
+the main process collates to numpy and double-buffers ``jax.device_put`` so
+the device never waits on the host (SURVEY.md §2.11 "Dataset/render
+offload").
+"""
+from __future__ import annotations
+
+import itertools
+import logging
+import multiprocessing as mp
+import queue as queue_mod
+from typing import Iterator, Optional
+
+import numpy as np
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+
+def collate(items):
+    """Stack a list of pytree-of-numpy items along a new batch axis."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *items)
+
+
+def _worker_loop(dataset, worker_id, out_queue, stop_event):
+    try:
+        dataset.worker_init_fn(worker_id)
+        it = iter(dataset)
+        while not stop_event.is_set():
+            item = next(it)
+            out_queue.put(item)
+    except KeyboardInterrupt:
+        pass
+    except Exception as e:  # pragma: no cover
+        logger.exception("data worker %d died: %s", worker_id, e)
+        out_queue.put(e)
+
+
+class IterableLoader:
+    """Infinite batched loader over an iterable dataset.
+
+    With ``num_workers == 0`` everything runs inline (deterministic; used in
+    tests). Otherwise spawn workers each with its own renderer.
+    """
+
+    def __init__(self, dataset, batch_size: int, num_workers: int = 0,
+                 prefetch: int = 4, device_put: bool = True,
+                 sharding=None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.device_put = device_put
+        self.sharding = sharding
+        self._procs = []
+        self._queue = None
+        self._stop = None
+
+    def _start(self):
+        ctx = mp.get_context("fork")
+        self._queue = ctx.Queue(maxsize=self.prefetch * self.batch_size)
+        self._stop = ctx.Event()
+        for i in range(self.num_workers):
+            p = ctx.Process(target=_worker_loop,
+                            args=(self.dataset, i, self._queue, self._stop),
+                            daemon=True)
+            p.start()
+            self._procs.append(p)
+
+    def shutdown(self):
+        if self._stop is not None:
+            self._stop.set()
+        for p in self._procs:
+            p.terminate()
+        self._procs = []
+
+    def _items(self) -> Iterator:
+        if self.num_workers == 0:
+            self.dataset.worker_init_fn(0)
+            yield from iter(self.dataset)
+        else:
+            if not self._procs:
+                self._start()
+            while True:
+                item = self._queue.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+
+    def __iter__(self):
+        items = self._items()
+        pending = None
+        while True:
+            batch = collate(list(itertools.islice(items, self.batch_size)))
+            if self.device_put:
+                # Double-buffer: dispatch the put for the next batch while the
+                # device is busy with the previous step.
+                batch = jax.device_put(batch, self.sharding)
+            if pending is not None:
+                yield pending
+            pending = batch

@@ -1,0 +1,421 @@
+"""Infinite synthetic multi-view training stream.
+
+Behavioral reference: ``latentfusion/datasets/training/pyrender.py``
+(PyrenderDataset). Per item: sample input/output camera poses (random,
+segment-constrained, or sunflower-even), size jitter, reject oversized
+meshes, random vertex-color materials, random color/depth backgrounds,
+per-view light randomization, color jitter + noise + motion blur, depth
+noise, mask corruption, and camera-pose jitter for noisy-extrinsics
+training. Returns ``{'in', 'in_gt', 'out_gt'}`` groups with
+render/mask/depth/extrinsic/intrinsic stacks (numpy, host-side).
+
+Renders through the native C++ rasterizer (data/rasterizer.py) instead of
+pyrender/EGL. PBR metallic-roughness materials and UV textures are
+approximated by random per-object albedo (optionally modulated by a random
+texture image sampled at vertices); SURVEY.md §2.14.
+"""
+from __future__ import annotations
+
+import logging
+import math
+import random
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import augment, three
+from ..consts import INTRINSIC
+from ..three import quaternion as quat
+from . import rendering
+
+logger = logging.getLogger(__name__)
+
+# ShapeNet uses +Y as up; YCB uses +Z up. Pre-rotate to the canonical frame
+# (reference: pyrender.py:34-38).
+OBJ_DEFAULT_POSE = np.asarray(
+    ((1.0, 0.0, 0.0), (0.0, 0.0, -1.0), (0.0, 1.0, 0.0)), dtype=np.float32)
+
+
+def index_paths(dataset_dir: Path, ext: str, index_name: str = "paths.txt"):
+    """(reference: pyrender.py:56-62)"""
+    dataset_dir = Path(dataset_dir)
+    index_path = dataset_dir / index_name
+    if index_path.exists():
+        with open(index_path) as f:
+            return [Path(dataset_dir, p.strip()) for p in f.readlines()]
+    return sorted(dataset_dir.glob(f"**/*{ext}"))
+
+
+class SyntheticDataset:
+    """Iterable synthetic dataset (reference: pyrender.py:65-445)."""
+
+    MAX_MESH_BYTES = 2e7  # reference: pyrender.py:320-327
+
+    def __init__(self, shape_paths, num_input_views, num_output_views,
+                 x_bound=(-0.5, 0.5), y_bound=None, z_bound=(1.5, 3),
+                 size_jitter=(0.5, 1.0), color_noise_level=0.0,
+                 depth_noise_level=0.0, mask_noise_p=0.0,
+                 min_lights=3, max_lights=8, width=640, height=480,
+                 camera_angle_min=0.0, camera_angle_max=math.pi / 2.0,
+                 camera_angle_spread=math.pi / 12.0,
+                 camera_translation_noise=0.0, camera_rotation_noise=0.0,
+                 color_background_dir=None, depth_background_dir=None,
+                 textures_dir=None, use_textures=False,
+                 random_materials=False, color_random_background=False,
+                 depth_random_background=False, use_spiral_outputs=False,
+                 use_constrained_cameras=False, disk_sample_cameras=False,
+                 use_model_materials=False, obj_default_pose=OBJ_DEFAULT_POSE,
+                 device_id=0, seed=None):
+        self.width = width
+        self.height = height
+        if not y_bound:
+            y_bound = (x_bound[0] / width * height, x_bound[1] / width * height)
+        self.x_bound = x_bound
+        self.y_bound = y_bound
+        self.z_bound = z_bound
+        self.size_jitter = size_jitter
+        self.min_lights = min_lights
+        self.max_lights = max_lights
+        self.color_noise_level = color_noise_level
+        self.depth_noise_level = depth_noise_level
+        self.mask_noise_p = mask_noise_p
+        self.color_random_background = color_random_background
+        self.depth_random_background = depth_random_background
+        self.random_materials = random_materials
+
+        self.num_inputs = num_input_views
+        self.num_outputs = num_output_views
+        self.use_spiral_outputs = use_spiral_outputs
+        self.use_constrained_cameras = use_constrained_cameras
+        self.disk_sample_cameras = disk_sample_cameras
+        self.camera_angle_min = camera_angle_min
+        self.camera_angle_max = camera_angle_max
+        self.camera_angle_spread = camera_angle_spread
+        self.camera_translation_noise = camera_translation_noise
+        self.camera_rotation_noise = camera_rotation_noise
+        self.obj_default_pose = obj_default_pose
+        self.shape_paths = list(shape_paths)
+
+        self.texture_paths = (index_paths(textures_dir, ".jpg")
+                              if use_textures and textures_dir else [])
+        self.color_background_paths = (
+            index_paths(color_background_dir, ".jpg")
+            if color_random_background and color_background_dir else [])
+        self.depth_background_paths = (
+            index_paths(depth_background_dir, ".png", "depth_paths.txt")
+            if depth_random_background and depth_background_dir else [])
+
+        logger.info("dataset indexed: %d shapes, %d textures, %d color bgs, "
+                    "%d depth bgs", len(self.shape_paths),
+                    len(self.texture_paths), len(self.color_background_paths),
+                    len(self.depth_background_paths))
+
+        self._mask_corrupt = augment.masks.default_mask_corruption()
+        self._renderer = None
+        self._worker_id = None
+        self._key = jax.random.PRNGKey(seed if seed is not None else 0)
+
+    # -------------------------------------------------------------- workers
+    def worker_init_fn(self, worker_id):
+        """(reference: pyrender.py:289-296)"""
+        self._worker_id = worker_id
+        self._renderer = rendering.Renderer(width=self.width,
+                                            height=self.height)
+        random.seed((worker_id + 1) * 7919 + random.randrange(1 << 20))
+        np.random.seed((worker_id + 1) * 104729 % (1 << 31))
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ---------------------------------------------------------------- poses
+    def random_poses(self, n, constrained=False, disk_sample=False):
+        """(reference: pyrender.py:252-277)"""
+        key = self._next_key()
+        k1, k2 = jax.random.split(key)
+        translation = three.random_translation(k1, n, self.x_bound,
+                                               self.y_bound, self.z_bound)
+        if constrained:
+            angle = random.uniform(
+                self.camera_angle_min + self.camera_angle_spread,
+                self.camera_angle_max - self.camera_angle_spread)
+            rot_quats = three.orientation.sample_segment_quats(
+                k2, n, (0.0, 0.0, 1.0),
+                angle - self.camera_angle_spread,
+                angle + self.camera_angle_spread)
+        elif disk_sample:
+            rot_quats = three.orientation.evenly_distributed_quats(n, key=k2)
+        else:
+            rot_quats = quat.random(k2, n)
+        canon = quat.mat_to_quat(jnp.asarray(self.obj_default_pose))
+        rot_quats = quat.qmul(rot_quats, jnp.broadcast_to(canon, (n, 4)))
+        return np.asarray(translation), np.asarray(rot_quats)
+
+    def orbit_poses(self, n):
+        """(reference: pyrender.py:279-288)"""
+        translation = np.tile(
+            np.asarray([[0.0, 0.0, self.z_bound[0]]], dtype=np.float32),
+            (n, 1))
+        rot = three.orientation.spiral_orbit(n, c=8)
+        canon = quat.mat_to_quat(jnp.asarray(self.obj_default_pose))
+        rot = quat.qmul(rot, jnp.broadcast_to(canon, (n, 4)))
+        return translation, np.asarray(rot)
+
+    # --------------------------------------------------------------- assets
+    def load_random_image(self, paths):
+        """(reference: pyrender.py:207-216)"""
+        import imageio.v2 as imageio
+
+        for _ in range(32):
+            path = random.choice(paths)
+            try:
+                image = np.asarray(imageio.imread(path))
+                if image.ndim != 3 or image.shape[2] < 3:
+                    continue
+                return image[:, :, :3]
+            except Exception:
+                logger.warning("failed to read image %s", path)
+        raise RuntimeError("could not load a background image")
+
+    def load_random_depth(self, paths):
+        """(reference: pyrender.py:218-230)"""
+        import imageio.v2 as imageio
+
+        far = random.uniform(self.z_bound[1], 6.0)
+        for _ in range(32):
+            path = random.choice(paths)
+            try:
+                depth = np.asarray(imageio.imread(path))
+                if depth.ndim > 2:
+                    depth = depth[:, :, 0]
+                depth = depth.astype(np.float32) / 1000.0
+                rng = depth.max() - depth.min()
+                if rng <= 0:
+                    continue
+                return (depth - depth.min()) / rng * far
+            except Exception:
+                logger.warning("failed to read depth image %s", path)
+        raise RuntimeError("could not load a background depth")
+
+    def _apply_random_material(self, obj):
+        """Random albedo (optionally sampled from a texture image) per mesh
+        (approximates reference: pyrender.py:232-250 PBR materials)."""
+        for mesh in obj.meshes:
+            if self.texture_paths and random.random() < 0.9:
+                tex = self.load_random_image(self.texture_paths)
+                th, tw = tex.shape[:2]
+                # Sample the texture with a random planar projection of the
+                # vertices (no UVs needed).
+                v = mesh.vertices
+                axes = np.random.permutation(3)[:2]
+                uv = v[:, axes]
+                span = uv.max(axis=0) - uv.min(axis=0) + 1e-6
+                uv = (uv - uv.min(axis=0)) / span
+                scale = random.uniform(1.0, 8.0)
+                ui = (uv[:, 0] * (tw - 1) * scale % (tw - 1)).astype(int)
+                vi = (uv[:, 1] * (th - 1) * scale % (th - 1)).astype(int)
+                base = np.random.uniform(0.5, 1.0, 3)
+                mesh.vertex_colors = np.clip(
+                    tex[vi, ui].astype(np.float32) / 255.0 * base, 0, 1)
+            else:
+                color = np.random.uniform(0.2, 1.0, 3).astype(np.float32)
+                mesh.vertex_colors = np.tile(color[None], (len(mesh.vertices), 1))
+
+    def _load_object(self):
+        """Sample + normalize a mesh, skipping oversized/corrupt models
+        (reference: pyrender.py:317-332)."""
+        size_jitter = random.uniform(*self.size_jitter)
+        for _ in range(64):
+            model_path = Path(random.choice(self.shape_paths))
+            try:
+                if model_path.stat().st_size > self.MAX_MESH_BYTES:
+                    logger.warning("skipping large model %s", model_path)
+                    continue
+                obj, obj_scale = rendering.load_object(model_path,
+                                                       size=size_jitter)
+                if len(obj.vertices) < 3:
+                    continue
+                return obj, obj_scale
+            except Exception as e:
+                logger.error("exception while loading mesh %s: %s",
+                             model_path, e)
+        raise RuntimeError("could not load any mesh")
+
+    # ----------------------------------------------------------------- items
+    def __iter__(self):
+        if self._renderer is None:
+            self.worker_init_fn(0)
+        while True:
+            yield self._get_item()
+
+    def _get_item(self):
+        """(reference: pyrender.py:302-445)"""
+        # The canonical Realsense intrinsic is defined for a 640x480 frame
+        # (reference uses a fixed frame; we scale it to the requested size).
+        intrinsic = np.asarray(INTRINSIC, dtype=np.float32).copy()
+        intrinsic[0] *= self.width / 640.0
+        intrinsic[1] *= self.height / 480.0
+
+        in_t, in_q = self.random_poses(self.num_inputs,
+                                       constrained=self.use_constrained_cameras,
+                                       disk_sample=self.disk_sample_cameras)
+        if self.use_spiral_outputs:
+            out_t, out_q = self.orbit_poses(self.num_outputs)
+        else:
+            out_t, out_q = self.random_poses(
+                self.num_outputs, disk_sample=self.disk_sample_cameras)
+
+        obj, _ = self._load_object()
+        if self.random_materials:
+            self._apply_random_material(obj)
+        context = rendering.SceneContext(obj, intrinsic)
+
+        color_bg_base = (self.load_random_image(self.color_background_paths)
+                         if self.color_background_paths else None)
+        depth_bg_base = (self.load_random_depth(self.depth_background_paths)
+                         if self.depth_background_paths else None)
+
+        bg_crop = augment.tensors.TensorRandomCrop(
+            (self.height, self.width), pad_if_needed=True)
+        bg_flip_h = augment.tensors.TensorRandomHorizontalFlip()
+        bg_flip_v = augment.tensors.TensorRandomVerticalFlip()
+
+        groups = {k: {"render": [], "mask": [], "depth": []}
+                  for k in ("in", "in_gt", "out_gt")}
+
+        for t, q in zip(in_t, in_q):
+            context.randomize_lights(self.min_lights, self.max_lights)
+            context.set_pose(jnp.asarray(t), jnp.asarray(q))
+            color, depth, mask = self._renderer.render(context)
+            color = np.asarray(color)
+            depth = np.asarray(depth)
+            mask = np.asarray(mask)
+            groups["in_gt"]["render"].append(color)
+            groups["in_gt"]["depth"].append(depth)
+            groups["in_gt"]["mask"].append(mask)
+
+            color = augment.color_jitter(color)
+            if color_bg_base is not None:
+                bg = bg_crop(bg_flip_v(bg_flip_h(
+                    color_bg_base.transpose(2, 0, 1)))).transpose(1, 2, 0)
+                bg = bg.astype(np.float32) / 255.0
+                color = mask[:, :, None] * color + (1 - mask[:, :, None]) * bg
+            if depth_bg_base is not None:
+                bg_d = bg_crop(depth_bg_base[None])[0]
+                depth = mask * depth + (1 - mask) * bg_d
+            if self.color_noise_level > 0:
+                color = augment.add_noise(color, self.color_noise_level)
+            if self.depth_noise_level > 0:
+                depth = augment.add_depth_noise(depth, self.depth_noise_level)
+            noisy_mask = np.round(mask)
+            if random.random() < self.mask_noise_p:
+                noisy_mask = self._mask_corrupt(
+                    noisy_mask.astype(bool)).astype(np.float32)
+            groups["in"]["render"].append(color)
+            groups["in"]["depth"].append(depth)
+            groups["in"]["mask"].append(noisy_mask)
+
+        for t, q in zip(out_t, out_q):
+            context.set_pose(jnp.asarray(t), jnp.asarray(q))
+            color, depth, mask = self._renderer.render(context)
+            groups["out_gt"]["render"].append(np.asarray(color))
+            groups["out_gt"]["depth"].append(np.asarray(depth))
+            groups["out_gt"]["mask"].append(np.asarray(mask))
+
+        in_intrinsic = np.tile(intrinsic[None, :3, :3], (self.num_inputs, 1, 1))
+        out_intrinsic = np.tile(intrinsic[None, :3, :3],
+                                (self.num_outputs, 1, 1))
+        in_extrinsic_gt = np.asarray(three.to_extrinsic_matrix(
+            jnp.asarray(in_t), jnp.asarray(in_q)))
+
+        # Camera pose jitter for noisy-extrinsics training
+        # (reference: pyrender.py:406-418).
+        t_noisy = in_t
+        q_noisy = in_q
+        if self.camera_translation_noise > 0:
+            t_noisy = in_t + (np.random.randn(*in_t.shape).astype(np.float32)
+                              * self.camera_translation_noise)
+        if self.camera_rotation_noise > 0:
+            q_noisy = np.asarray(quat.perturb(
+                self._next_key(), jnp.asarray(in_q),
+                self.camera_rotation_noise))
+        in_extrinsic = np.asarray(three.to_extrinsic_matrix(
+            jnp.asarray(t_noisy), jnp.asarray(q_noisy)))
+        out_extrinsic = np.asarray(three.to_extrinsic_matrix(
+            jnp.asarray(out_t), jnp.asarray(out_q)))
+
+        def pack(g, extrinsic, intrinsic_):
+            return {
+                "render": np.stack(g["render"]).transpose(0, 3, 1, 2),
+                "mask": np.stack(g["mask"]),
+                "depth": np.stack(g["depth"]),
+                "extrinsic": extrinsic,
+                "intrinsic": intrinsic_,
+            }
+
+        return {
+            "in": pack(groups["in"], in_extrinsic, in_intrinsic),
+            "in_gt": pack(groups["in_gt"], in_extrinsic_gt, in_intrinsic),
+            "out_gt": pack(groups["out_gt"], out_extrinsic, out_intrinsic),
+        }
+
+
+class ShapeNetDataset(SyntheticDataset):
+    """ShapeNet path indexing with taxonomy blacklist
+    (reference: datasets/training/shapenet.py:92-125)."""
+
+    DEFAULT_BLACKLIST = (
+        "02858304",  # boats
+        "02876657",  # bottles (often thin/transparent)
+        "04401088",  # phones
+    )
+
+    def __init__(self, dataset_path, blacklist_synsets=None, **kwargs):
+        dataset_path = Path(dataset_path)
+        blacklist = set(blacklist_synsets or self.DEFAULT_BLACKLIST)
+        paths = []
+        for p in index_paths(dataset_path, ".obj"):
+            synset = None
+            for part in p.parts:
+                if part.isdigit() and len(part) == 8:
+                    synset = part
+                    break
+            if synset in blacklist:
+                continue
+            paths.append(p)
+        super().__init__(paths, **kwargs)
+
+
+class ModelNetDataset(SyntheticDataset):
+    """(reference: datasets/training/modelnet.py)"""
+
+    def __init__(self, dataset_path, split="train", **kwargs):
+        dataset_path = Path(dataset_path)
+        paths = sorted(dataset_path.glob(f"**/{split}/*.off"))
+        if not paths:
+            paths = index_paths(dataset_path, ".off")
+        super().__init__(paths, **kwargs)
+
+
+class YCBDataset(SyntheticDataset):
+    """(reference: datasets/training/ycb.py)"""
+
+    def __init__(self, dataset_path, **kwargs):
+        dataset_path = Path(dataset_path)
+        paths = sorted(dataset_path.glob("*/google_16k/textured.obj"))
+        if not paths:
+            paths = index_paths(dataset_path, ".obj")
+        super().__init__(paths, **kwargs)
+
+
+class BOPTrainDataset(SyntheticDataset):
+    """Synthetic training on BOP models
+    (reference: datasets/training/bop_pyrender.py)."""
+
+    def __init__(self, dataset_path, models_dirname="models", **kwargs):
+        dataset_path = Path(dataset_path)
+        paths = sorted((dataset_path / models_dirname).glob("obj_*.ply"))
+        super().__init__(paths, **kwargs)

@@ -14,7 +14,7 @@ layout on TPU.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Union
+from typing import Optional, Sequence, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -39,7 +39,7 @@ class EqualizedConv(nn.Module):
     equalized: bool = True
     lr_scale: float = 1.0
     use_bias: bool = True
-    dtype: jnp.dtype = jnp.float32
+    dtype: Optional[jnp.dtype] = None  # None -> global policy (dtypes.py)
 
     def _tuple(self, v):
         if isinstance(v, int):
@@ -48,6 +48,9 @@ class EqualizedConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..dtypes import get_compute_dtype
+
+        compute_dtype = self.dtype or get_compute_dtype()
         ks = self._tuple(self.kernel_size)
         stride = self._tuple(self.stride)
         padding = self._tuple(self.padding)
@@ -63,8 +66,8 @@ class EqualizedConv(nn.Module):
             jnp.float32)
 
         y = lax.conv_general_dilated(
-            x.astype(self.dtype),
-            weight.astype(self.dtype),
+            x.astype(compute_dtype),
+            weight.astype(compute_dtype),
             window_strides=stride,
             padding=pad,
             dimension_numbers=_DIMENSION_NUMBERS[self.ndim],

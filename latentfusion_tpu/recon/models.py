@@ -155,6 +155,7 @@ def interpret_logits(logits, predict_color: bool, predict_depth: bool,
                      predict_mask: bool, apply_mask: bool = False) -> dict:
     """Split decoder logits into color/depth/mask heads
     (reference: models.py:455-484)."""
+    logits = logits.astype(jnp.float32)
     channel_base = 0
     y = {}
     if predict_color:
