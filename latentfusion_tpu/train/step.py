@@ -148,3 +148,221 @@ def make_train_step(sculptor, fuser, photographer, optimizer,
 def init_train_state(params: Dict[str, Any], optimizer) -> TrainState:
     return TrainState(params=params, opt_state=optimizer.init(params),
                       step=jnp.asarray(0))
+
+
+# ---------------------------------------------------------------------------
+# Full reconstruction iteration (process_batch + GAN), the jitted analog of
+# the reference's run_iteration (train_reconstruct.py:421-604).
+# ---------------------------------------------------------------------------
+
+class GanTrainState(NamedTuple):
+    params: Dict[str, Any]        # sculptor/fuser/photographer
+    opt_state: Any
+    d_params: Any                 # discriminator (or empty dict)
+    d_opt_state: Any
+    step: jnp.ndarray
+
+
+def make_recon_train_step(sculptor, fuser, photographer, g_optimizer,
+                          discriminator=None, d_optimizer=None,
+                          config: Optional[Dict] = None):
+    """Full training iteration:
+
+    process_batch -> optional input masking/noise -> encode -> decode on
+    output (+input) cameras -> multiscale LSGAN D step with annealed
+    instance noise -> G losses (GAN + recon + beta prior) -> optax updates.
+
+    Returns ``step(state, raw_batch, key, input_noise_weight) ->
+    (state, scalars)``; ``depth_k`` is baked via config (annealed between
+    compilations, reference: train_reconstruct.py:424-425).
+    """
+    from ..camera import Camera
+    from ..recon.utils import process_batch
+    from ..three.batchview import bv2b
+
+    config = dict(config or {})
+    cube_size = config.get("cube_size", 1.0)
+    camera_dist = config.get("camera_dist", 1.5)
+    input_size = sculptor.in_size
+    reconstruct_input = config.get("reconstruct_input", False)
+    random_orientation = config.get("random_orientation", True)
+    crop_random_background = config.get("crop_random_background", False)
+    color_random_background = config.get("color_random_background", False)
+    depth_random_background = config.get("depth_random_background", False)
+    generator_input_depth = config.get("generator_input_depth", False)
+    depth_noise_std = config.get("depth_noise_std", 0.25)
+    crop_predicted_mask = config.get("crop_predicted_mask", False)
+    d_inputs = {
+        "color": config.get("discriminator_input_color", False),
+        "depth": config.get("discriminator_input_depth", False),
+        "mask": config.get("discriminator_input_mask", False),
+    }
+    gan_weight = config.get("g_gan_loss_weight", 1.0)
+
+    def forward_and_g_loss(params, batch, key, input_noise_weight, d_params):
+        proc = process_batch(batch, cube_size, camera_dist, input_size,
+                             random_orientation=random_orientation, key=key)
+
+        if reconstruct_input:
+            recon_camera = Camera.vcat(
+                (proc["in_gt"]["camera"], proc["out_gt"]["camera"]),
+                batch_size=batch["in"]["mask"].shape[0])
+            recon = {
+                k: jnp.concatenate((proc["in_gt"][k], proc["out_gt"][k]),
+                                   axis=1)
+                for k in ("image", "depth", "mask")
+            }
+        else:
+            recon_camera = proc["out_gt"]["camera"]
+            recon = {k: proc["out_gt"][k] for k in ("image", "depth", "mask")}
+
+        # Input masking (reference: train_reconstruct.py:441-446).
+        image_in = proc["in"]["image"]
+        depth_norm = proc["in"].get("depth")
+        mask_in = proc["in"]["mask"]
+        if not color_random_background or crop_random_background:
+            image_in = image_in * mask_in
+        if depth_norm is not None and (
+                not depth_random_background or crop_random_background):
+            depth_norm = mask_normalized_depth(depth_norm, mask_in)
+
+        depth_in = None
+        if generator_input_depth:
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, depth_norm.shape) * depth_noise_std
+            depth_in = jnp.clip(depth_norm + noise, -1, 1)
+
+        z_obj, z_extra = models.encode(
+            sculptor, params["sculptor"], fuser, params.get("fuser", {}),
+            proc["in"]["camera"], image_in, depth_in, mask_in)
+
+        y, _, _ = models.decode(photographer, params["photographer"], z_obj,
+                                recon_camera, interpret=True)
+        fake_image = y.get("color")
+        if (photographer.predict_mask and photographer.predict_color):
+            if crop_predicted_mask:
+                fake_image = fake_image * y["mask"]
+            else:
+                fake_image = fake_image * recon["mask"]
+
+        # Generator losses.
+        depth_k = config.get("g_depth_recon_loss_k", 16384)
+        loss_dict = {}
+        if photographer.predict_depth:
+            gt_depth = mask_normalized_depth(recon["depth"], recon["mask"])
+            loss_dict["depth"] = config.get("g_depth_recon_loss_weight", 25.0) * \
+                _recon_loss(config.get("g_depth_recon_loss_type",
+                                       "hard_smooth_l1"),
+                            y["depth"], gt_depth, depth_k)
+        if photographer.predict_mask:
+            kind = config.get("g_mask_recon_loss_type", "binary_cross_entropy")
+            y_mask = y["mask_logits"] if kind == "binary_cross_entropy" else \
+                y["mask"]
+            if kind == "binary_cross_entropy":
+                from ..pose.estimation import _bce_with_logits
+
+                loss_dict["mask"] = config.get("g_mask_recon_loss_weight",
+                                               25.0) * \
+                    _bce_with_logits(y_mask, recon["mask"]).mean()
+            else:
+                loss_dict["mask"] = config.get("g_mask_recon_loss_weight",
+                                               25.0) * \
+                    _recon_loss(kind, y_mask, recon["mask"],
+                                config.get("g_mask_recon_loss_k", 2000))
+            beta_w = config.get("g_mask_beta_loss_weight", 0.0)
+            if beta_w > 0:
+                p = config.get("g_mask_beta_loss_param", 0.01)
+                loss_dict["mask_beta"] = beta_w * L.beta_prior_loss(
+                    y["mask"], p, p)
+        if photographer.predict_color:
+            loss_dict["color"] = config.get("g_color_recon_loss_weight",
+                                            50.0) * \
+                _recon_loss(config.get("g_color_recon_loss_type", "l1"),
+                            fake_image, recon["image"],
+                            config.get("g_color_recon_loss_k", 2000))
+
+        d_fake_for_g = None
+        d_pack = None
+        if discriminator is not None:
+            key, k1, k2 = jax.random.split(key, 3)
+            y_fake, y_real, mask_real = _stack_d_inputs(
+                d_inputs, fake_image, y.get("depth"), y.get("mask"),
+                recon["image"], recon["depth"], recon["mask"])
+            noise_std = config.get("input_noise_std", 0.2)
+            real_noise = input_noise_weight * noise_std * jax.random.normal(
+                k1, y_real.shape)
+            fake_noise = input_noise_weight * noise_std * jax.random.normal(
+                k2, y_fake.shape)
+            d_fake_for_g = discriminator.apply(
+                d_params, y_fake + fake_noise, mask_real)
+            loss_dict["gan"] = gan_weight * L.multiscale_lsgan_loss(
+                d_fake_for_g, 1)
+            d_pack = (jax.lax.stop_gradient(y_fake), y_real, mask_real,
+                      real_noise, fake_noise)
+
+        total = sum(loss_dict.values())
+        return total, (loss_dict, d_pack)
+
+    def _stack_d_inputs(d_flags, image_fake, depth_fake, mask_fake,
+                        image_real, depth_real, mask_real):
+        """(reference: train_reconstruct.py:606-631)"""
+        y_fake, y_real = [], []
+        if d_flags["color"]:
+            y_fake.append(image_fake)
+            y_real.append(image_real)
+        if d_flags["depth"]:
+            y_fake.append(depth_fake)
+            y_real.append(depth_real)
+        if d_flags["mask"]:
+            y_fake.append(mask_fake)
+            y_real.append(mask_real)
+        y_fake = jnp.concatenate([bv2b(t) for t in y_fake], axis=1)
+        y_real = jnp.concatenate([bv2b(t) for t in y_real], axis=1)
+        return y_fake, y_real, bv2b(mask_real)
+
+    def d_loss_fn(d_params, d_pack):
+        y_fake, y_real, mask_real, real_noise, fake_noise = d_pack
+        d_real = discriminator.apply(d_params, y_real + real_noise, mask_real)
+        d_fake = discriminator.apply(d_params, y_fake + fake_noise, mask_real)
+        loss_real = L.multiscale_lsgan_loss(d_real, 1)
+        loss_fake = L.multiscale_lsgan_loss(d_fake, 0)
+        return loss_real + loss_fake, (loss_real, loss_fake)
+
+    g_grad = jax.value_and_grad(forward_and_g_loss, has_aux=True)
+    d_grad = jax.value_and_grad(d_loss_fn, has_aux=True) \
+        if discriminator is not None else None
+
+    def step(state: GanTrainState, batch, key, input_noise_weight=0.0):
+        (g_loss, (loss_dict, d_pack)), grads = g_grad(
+            state.params, batch, key, input_noise_weight, state.d_params)
+        updates, opt_state = g_optimizer.update(grads, state.opt_state,
+                                                state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        d_params, d_opt_state = state.d_params, state.d_opt_state
+        scalars = {f"loss/generator/{k}": v for k, v in loss_dict.items()}
+        scalars["loss/generator/total"] = g_loss
+        if discriminator is not None:
+            (d_loss, (ld_real, ld_fake)), dg = d_grad(state.d_params, d_pack)
+            d_updates, d_opt_state = d_optimizer.update(dg, state.d_opt_state,
+                                                        state.d_params)
+            d_params = optax.apply_updates(state.d_params, d_updates)
+            scalars["loss/discriminator/real"] = ld_real
+            scalars["loss/discriminator/fake"] = ld_fake
+            scalars["loss/discriminator/total"] = d_loss
+
+        return GanTrainState(params, opt_state, d_params, d_opt_state,
+                             state.step + 1), scalars
+
+    return jax.jit(step)
+
+
+def init_gan_train_state(params, g_optimizer, d_params=None,
+                         d_optimizer=None) -> GanTrainState:
+    return GanTrainState(
+        params=params,
+        opt_state=g_optimizer.init(params),
+        d_params=d_params or {},
+        d_opt_state=d_optimizer.init(d_params) if d_optimizer else None,
+        step=jnp.asarray(0),
+    )

@@ -20,7 +20,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .camera import Camera
+from .ops.gather_matmul import MAX_MATMUL_VOXELS, grid_sample_3d_matmul
 from .ops.grid_sample import grid_sample_3d
+
+
+def _volume_sample(volume, grid, padding_mode):
+    """Dispatch: one-hot MXU matmul sampling for small volumes (the latent
+    cubes), gather for large ones. See ops/gather_matmul.py for why."""
+    d, h, w = volume.shape[-3:]
+    if d * h * w <= MAX_MATMUL_VOXELS:
+        return grid_sample_3d_matmul(volume, grid, padding_mode=padding_mode)
+    return grid_sample_3d(volume, grid, padding_mode=padding_mode)
 
 
 def get_obj_coords(cube_size: float, size: int) -> jnp.ndarray:
@@ -68,7 +78,7 @@ def camera_to_object(cam_volume: jnp.ndarray, camera: Camera,
         axis=-1,
     )
     grid = grid_coords.reshape(-1, size, size, size, 3)
-    return grid_sample_3d(cam_volume, grid, padding_mode=padding_mode)
+    return _volume_sample(cam_volume, grid, padding_mode)
 
 
 def object_to_camera(obj_volume: jnp.ndarray, camera: Camera,
@@ -95,4 +105,4 @@ def object_to_camera(obj_volume: jnp.ndarray, camera: Camera,
 
     obj_volume = jnp.broadcast_to(
         obj_volume, (camera.length, *obj_volume.shape[1:]))
-    return grid_sample_3d(obj_volume, grid, padding_mode=padding_mode)
+    return _volume_sample(obj_volume, grid, padding_mode)
