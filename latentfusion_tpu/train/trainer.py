@@ -174,7 +174,7 @@ class ReconTrainer(Trainer):
     def create_checkpoint(self) -> Dict[str, Any]:
         """Reference-schema checkpoint: modules with {args, state_dict-like
         params} (reference: trainutils.py:274-285)."""
-        params = jax.device_get(self.state.params)
+        params = self._module_params()
         modules = {
             "sculptor": {"args": self.sculptor.checkpoint_args(),
                          "params": params["sculptor"]},
@@ -198,6 +198,9 @@ class ReconTrainer(Trainer):
             "modules": modules,
         }
 
+    def _module_params(self):
+        return jax.device_get(self.state.params)
+
     def export_torch_checkpoint(self, path):
         """Emit a reference-format .pth consumable by the original
         PyTorch framework."""
@@ -213,3 +216,27 @@ class ReconTrainer(Trainer):
                 for k, v in ckpt.export_torch_state_dict(params).items()
             }
         torch.save(payload, path)
+
+
+class IBRTrainer(ReconTrainer):
+    """IBR-generator trainer (reference: tools/train/train_ibr.py
+    IBRTrainer): trains the UNet2d generator (+ optional discriminator) on
+    top of a frozen/fine-tuned reconstruction stack."""
+
+    def _module_params(self):
+        p = jax.device_get(self.state.params)
+        return {**p["recon"], "generator": p["generator"]}
+
+    def create_checkpoint(self):
+        payload = super().create_checkpoint()
+        params = self._module_params()
+        gen = getattr(self, "generator", None)
+        payload["modules"]["generator"] = {
+            "args": {
+                "in_channels": gen.in_channels if gen else None,
+                "out_channels": gen.out_channels if gen else None,
+                "block_config": gen.block_config if gen else None,
+            },
+            "params": params["generator"],
+        }
+        return payload
