@@ -60,6 +60,16 @@ class Observation:
 
     # ------------------------------------------------------------ constructors
     @classmethod
+    def from_dataset(cls, dataset, inds=None):
+        """Load + collate items from a map-style dataset
+        (reference: observation.py:73-79)."""
+        from .data.loader import collate
+
+        if inds is None:
+            inds = range(len(dataset))
+        return cls.from_dict(collate([dataset[int(i)] for i in inds]))
+
+    @classmethod
     def from_dict(cls, d):
         """(reference: observation.py:81-88)"""
         height, width = d["color"].shape[-2:]
