@@ -21,6 +21,76 @@ from .augment import gan_denormalize, gan_normalize
 from .camera import Camera
 
 
+def render_observation(renderer, scene) -> "Observation":
+    """Render the scene into an Observation
+    (reference: observation.py:20-29)."""
+    color, depth, mask = renderer.render(scene)
+    camera = Camera(scene.intrinsic, scene.extrinsic,
+                    width=renderer.width, height=renderer.height)
+    return Observation(jnp.moveaxis(color, -1, 0)[None], depth[None, None],
+                       mask[None, None], camera,
+                       object_scale=scene.obj.scale)
+
+
+def render_random_observations(renderer, scene, n, x_bound=(0.0, 0.0),
+                               y_bound=(0.0, 0.0), z_bound=(0.5, 0.5),
+                               disk_sample_quats=True, frame="default",
+                               key=None) -> "Observation":
+    """Synthetic-evaluation generator: n observations at random poses
+    (reference: observation.py:32-49)."""
+    from . import three
+    from .three import quaternion as quat_mod
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    translations = three.random_translation(k1, n, x_bound, y_bound, z_bound)
+    if disk_sample_quats:
+        quaternions = three.orientation.evenly_distributed_quats(n, key=k2)
+    else:
+        quaternions = quat_mod.random(k2, n)
+    observations = []
+    for trans, quat in zip(translations, quaternions):
+        scene.set_pose(trans, quat, frame=frame)
+        observations.append(render_observation(renderer, scene))
+    return Observation.collate(observations)
+
+
+def sample_eval_observations(renderer, scene, x_bound=(0, 0), y_bound=(0, 0),
+                             z_bound=(0.5, 0.5), rot_std_rad=None,
+                             trans_std_m=(0.01, 0.01, 0.05), key=None):
+    """Reference/target pair with a bounded pose perturbation — the
+    reference's integration-test rig (reference: observation.py:52-68)."""
+    import math
+
+    from . import three
+    from .three import quaternion as quat_mod
+
+    if rot_std_rad is None:
+        rot_std_rad = math.pi / 12
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    ref_trans = three.random_translation(k1, 1, x_bound, y_bound, z_bound)[0]
+    ref_quat = quat_mod.random(k2, 1)[0]
+    scene.set_pose(ref_trans, ref_quat)
+    ref_obs = render_observation(renderer, scene)
+
+    tar_quat = quat_mod.perturb(k3, ref_quat, rot_std_rad)
+    # Resample while angle > 45 deg (bounded retries).
+    for i in range(16):
+        d = quat_mod.angular_distance(tar_quat[None], ref_quat[None])[0, 0]
+        if float(d) < math.pi / 4:
+            break
+        k3, sub = jax.random.split(k3)
+        tar_quat = quat_mod.perturb(sub, ref_quat, rot_std_rad)
+    tar_trans = ref_trans + jax.random.normal(k4, (3,)) * jnp.asarray(
+        trans_std_m)
+    scene.set_pose(tar_trans, tar_quat)
+    tar_obs = render_observation(renderer, scene)
+    return ref_obs, tar_obs
+
+
 @jax.tree_util.register_pytree_node_class
 class Observation:
     """(reference: observation.py:71-110)"""

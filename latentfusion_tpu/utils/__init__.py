@@ -21,6 +21,23 @@ def seed_all(seed: int):
     random.seed(seed)
 
 
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def manual_seed(seed: int):
+    """Scoped host-RNG seeding (reference: torchutils.py:32-37). JAX PRNG
+    keys are explicit, so only numpy/stdlib state needs scoping."""
+    np_state = np.random.get_state()
+    py_state = random.getstate()
+    seed_all(seed)
+    try:
+        yield
+    finally:
+        np.random.set_state(np_state)
+        random.setstate(py_state)
+
+
 def list_arg(cast_type=str, delimiter=","):
     """(reference: utils.py:23-29)"""
 
