@@ -40,6 +40,11 @@ def main():
     parser.add_argument("--hypotheses", type=int, default=8,
                         help="adam_quick uses 8 (reference config)")
     parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--mode", default="gradient",
+                        choices=["gradient", "cem"],
+                        help="gradient = adam_quick refinement (fwd+bwd); "
+                             "cem = cross_entropy_quick coarse search "
+                             "(512 hypothesis renders/iter)")
     args = parser.parse_args()
 
     import jax
@@ -106,13 +111,25 @@ def main():
     print("# target observation...", file=sys.stderr)
     target_obs = jax.jit(oracle.make_observation)(cam0)
 
-    # adam_quick-shaped refinement, early stop disabled for stable timing.
-    est = estimation.GradientPoseEstimator(
-        model=model, ranking_size=args.hypotheses,
-        loss_weights={"depth": 1.0, "ov_depth": 0.3},
-        learning_rate=0.01, num_samples=args.hypotheses,
-        num_iters=args.iters, converge_threshold=-1.0,
-        converge_patience=args.iters + 1, optimizer="adam")
+    if args.mode == "cem":
+        # cross_entropy_quick: 128 GMM samples x 4 flips = 512 forward
+        # hypothesis renders per iteration (reference config).
+        est = estimation.CrossEntropyPoseEstimator(
+            model=model, ranking_size=16, loss_weights={"depth": 1.0},
+            num_samples=128, num_iters=args.iters, num_elites=48,
+            num_gmm_components=6, learning_rate=0.9, sample_flipped=True)
+        hyp_per_iter = 512
+        bwd_factor = 1.0  # forward-only scoring
+    else:
+        # adam_quick-shaped refinement, early stop disabled for timing.
+        est = estimation.GradientPoseEstimator(
+            model=model, ranking_size=args.hypotheses,
+            loss_weights={"depth": 1.0, "ov_depth": 0.3},
+            learning_rate=0.01, num_samples=args.hypotheses,
+            num_iters=args.iters, converge_threshold=-1.0,
+            converge_patience=args.iters + 1, optimizer="adam")
+        hyp_per_iter = args.hypotheses
+        bwd_factor = 3.0  # fwd + bwd
 
     print("# hypothesis cameras...", file=sys.stderr)
     init_cam = jax.jit(lambda: pu.sample_cameras_with_estimate(
@@ -132,34 +149,40 @@ def main():
         # (8 hypotheses, 256^2): 40.3 GFLOP per hypothesis forward.
         fwd_flops_per_hyp = 40.3e9 if not args.tiny else float("nan")
 
+    def run_estimate():
+        if args.mode == "cem":
+            return est.estimate(z_obj, target_obs,
+                                key=jax.random.PRNGKey(2)).translation
+        return est.estimate(z_obj, target_obs, camera=init_cam).translation
+
     # Warmup (compile).
     print("# compiling refinement loop...", file=sys.stderr)
     t0 = time.time()
-    jax.block_until_ready(
-        est.estimate(z_obj, target_obs, camera=init_cam).translation)
+    jax.block_until_ready(run_estimate())
     print(f"# compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    result = est.estimate(z_obj, target_obs, camera=init_cam)
-    jax.block_until_ready(result.translation)
+    jax.block_until_ready(run_estimate())
     elapsed = time.time() - t0
 
-    hyp_renders = args.hypotheses * args.iters
+    hyp_renders = hyp_per_iter * args.iters
     hyp_per_sec = hyp_renders / elapsed
 
     if fwd_flops_per_hyp == fwd_flops_per_hyp:  # not nan
         ref_hyp_per_sec = (PEAK_2080TI_FP32 * ASSUMED_REF_UTILIZATION
-                           / (3.0 * fwd_flops_per_hyp))
+                           / (bwd_factor * fwd_flops_per_hyp))
         vs_baseline = hyp_per_sec / ref_hyp_per_sec
     else:
         ref_hyp_per_sec = float("nan")
         vs_baseline = float("nan")
 
+    desc = ("fwd+bwd, flagship decoder" if args.mode == "gradient"
+            else "fwd scoring, flagship decoder, cem")
     print(json.dumps({
         "metric": "pose_hypotheses_per_sec_per_chip",
         "value": round(hyp_per_sec, 2),
-        "unit": "hypothesis-renders/s (fwd+bwd, flagship decoder, "
-                f"{args.hypotheses} hyp x {args.iters} iters)",
+        "unit": f"hypothesis-renders/s ({desc}, "
+                f"{hyp_per_iter} hyp x {args.iters} iters)",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline
         else None,
     }))

@@ -41,6 +41,21 @@ def load_checkpoint(path) -> Dict[str, Any]:
         return pickle.load(f)
 
 
+def save_checkpoint_orbax(path, payload: Dict[str, Any]):
+    """Orbax variant (async-capable, multi-host-safe) for large runs."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    checkpointer = ocp.PyTreeCheckpointer()
+    checkpointer.save(path, payload, force=True)
+
+
+def load_checkpoint_orbax(path) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer().restore(Path(path).absolute())
+
+
 class Trainer:
     """Epoch-loop harness (reference: trainutils.py:174-390).
 
