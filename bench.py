@@ -41,10 +41,12 @@ def main():
                         help="adam_quick uses 8 (reference config)")
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--mode", default="gradient",
-                        choices=["gradient", "cem"],
+                        choices=["gradient", "cem", "full"],
                         help="gradient = adam_quick refinement (fwd+bwd); "
                              "cem = cross_entropy_quick coarse search "
-                             "(512 hypothesis renders/iter)")
+                             "(512 hypothesis renders/iter); full = 16-view "
+                             "reconstruction + coarse + adam_slow "
+                             "(seconds/object end-to-end)")
     args = parser.parse_args()
 
     import jax
@@ -110,6 +112,10 @@ def main():
                                           camera_dist=camera_dist)
     print("# target observation...", file=sys.stderr)
     target_obs = jax.jit(oracle.make_observation)(cam0)
+
+    if args.mode == "full":
+        return bench_full_pipeline(args, model, oracle, cam0, input_size,
+                                   camera_dist)
 
     if args.mode == "cem":
         # cross_entropy_quick: 128 GMM samples x 4 flips = 512 forward
@@ -188,6 +194,72 @@ def main():
     }))
     print(f"# elapsed={elapsed:.3f}s fwd_flops/hyp={fwd_flops_per_hyp} "
           f"est_2080ti={ref_hyp_per_sec:.2f} hyp/s", file=sys.stderr)
+
+
+def bench_full_pipeline(args, model, oracle, cam0, input_size, camera_dist):
+    """BASELINE config #3: 16-view latent reconstruction + cross-entropy
+    coarse search + adam_slow refinement; reports seconds/object."""
+    import jax
+    import jax.numpy as jnp
+
+    from latentfusion_tpu import zoo
+    from latentfusion_tpu.pose import estimation
+    from latentfusion_tpu.pose import utils as pu
+
+    # Real encoder params for the 16-view reconstruction.
+    sculptor = model.sculptor
+    fuser = model.fuser
+    key = jax.random.PRNGKey(0)
+    print("# init encoder params...", file=sys.stderr)
+    n_views = 16
+    cam_in = jax.jit(lambda: pu.sample_cameras_with_estimate(
+        n_views, cam0, key=jax.random.PRNGKey(11)))()
+    x = jnp.zeros((n_views, sculptor.in_channels, input_size, input_size))
+    zoom_in = jax.jit(lambda c: c.zoom(None, input_size, camera_dist))(cam_in)
+    model.sculptor_params = jax.jit(sculptor.init)(key, x, zoom_in)
+    s = sculptor.out_size
+    c = sculptor.out_channels
+    model.fuser_params = jax.jit(fuser.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, n_views, c, s, s, s)), [], [],
+        zoom_in)
+
+    print("# reference observations...", file=sys.stderr)
+    ref_obs = jax.jit(lambda: oracle.make_observation(cam_in))()
+    target_obs = jax.jit(oracle.make_observation)(cam0)
+
+    coarse = estimation.CrossEntropyPoseEstimator(
+        model=model, ranking_size=16, loss_weights={"depth": 1.0},
+        num_samples=128, num_iters=10, num_elites=48, num_gmm_components=6,
+        learning_rate=0.9, sample_flipped=True)
+    fine = estimation.GradientPoseEstimator(
+        model=model, ranking_size=16,
+        loss_weights={"depth": 1.0, "ov_depth": 0.3}, learning_rate=0.01,
+        num_samples=16, num_iters=150, converge_threshold=1e-6,
+        converge_patience=25, optimizer="adam")
+
+    def run_object():
+        z_obj = model.build_latent_object(ref_obs)
+        coarse_cams = coarse.estimate(z_obj, target_obs,
+                                      key=jax.random.PRNGKey(2))
+        best = fine.estimate(z_obj, target_obs, camera=coarse_cams[:16])
+        return best.translation
+
+    print("# compiling full pipeline...", file=sys.stderr)
+    t0 = time.time()
+    jax.block_until_ready(run_object())
+    print(f"# compile+first object: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    jax.block_until_ready(run_object())
+    elapsed = time.time() - t0
+
+    print(json.dumps({
+        "metric": "seconds_per_object_end_to_end",
+        "value": round(elapsed, 3),
+        "unit": "s (16-view reconstruction + cross_entropy_quick + "
+                "adam_slow, flagship)",
+        "vs_baseline": None,
+    }))
 
 
 if __name__ == "__main__":

@@ -16,7 +16,6 @@ import flax.linen as nn
 import jax
 
 from ..ops.interpolate import interpolate
-from . import equalized
 from .equalized import EqualizedConv
 
 
@@ -202,5 +201,3 @@ class PreActivationBasicBlock(nn.Module):
         x = interpolate(x, scale_factor=0.5, mode=self.scale_mode)
         return x + shortcut
 
-
-del equalized

@@ -84,10 +84,16 @@ class LatentFusionModel:
         self.input_size = sculptor.in_size
         self.device = device
 
-        # Jitted kernels (cached per input shape by jax).
-        self._encode_jit = jax.jit(
-            lambda sp, fp, cam, color, depth, mask: models.encode(
-                self.sculptor, sp, self.fuser, fp, cam, color, depth, mask))
+        # Jitted kernels (cached per input shape / observation meta flags by
+        # jax; Observation meta is static pytree aux).
+        def _build(sp, fp, observation):
+            obs = self.preprocess_observation(observation)
+            z_obj, _ = models.encode(self.sculptor, sp, self.fuser, fp,
+                                     obs.camera, obs.color[None],
+                                     obs.depth[None], obs.mask[None])
+            return z_obj
+
+        self._build_jit = jax.jit(_build)
         self._decode_jit = {}
 
     # API-parity no-ops (flax modules are stateless).
@@ -115,12 +121,10 @@ class LatentFusionModel:
 
     # --------------------------------------------------------------- encode
     def build_latent_object(self, observation: Observation):
-        """(reference: inference.py:73-84)"""
-        observation = self.preprocess_observation(observation)
-        z_obj, _ = self._encode_jit(
-            self.sculptor_params, self.fuser_params, observation.camera,
-            observation.color[None], observation.depth[None],
-            observation.mask[None])
+        """(reference: inference.py:73-84). Preprocess + encode as one
+        jitted program (zoom/normalize included)."""
+        z_obj = self._build_jit(self.sculptor_params, self.fuser_params,
+                                observation)
         return jax.lax.stop_gradient(z_obj)
 
     def compute_latent_code(self, observation: Observation, camera: Camera):
