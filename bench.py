@@ -41,12 +41,13 @@ def main():
                         help="adam_quick uses 8 (reference config)")
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--mode", default="gradient",
-                        choices=["gradient", "cem", "full"],
+                        choices=["gradient", "cem", "full", "train"],
                         help="gradient = adam_quick refinement (fwd+bwd); "
                              "cem = cross_entropy_quick coarse search "
                              "(512 hypothesis renders/iter); full = 16-view "
                              "reconstruction + coarse + adam_slow "
-                             "(seconds/object end-to-end)")
+                             "(seconds/object end-to-end); train = flagship "
+                             "reconstruction training step (steps/s)")
     args = parser.parse_args()
 
     import jax
@@ -116,6 +117,8 @@ def main():
     if args.mode == "full":
         return bench_full_pipeline(args, model, oracle, cam0, input_size,
                                    camera_dist)
+    if args.mode == "train":
+        return bench_train_step(args, input_size, camera_dist)
 
     if args.mode == "cem":
         # cross_entropy_quick: 128 GMM samples x 4 flips = 512 forward
@@ -260,6 +263,91 @@ def bench_full_pipeline(args, model, oracle, cam0, input_size, camera_dist):
                 "adam_slow, flagship)",
         "vs_baseline": None,
     }))
+
+
+def bench_train_step(args, input_size, camera_dist):
+    """BASELINE config #5 shape: flagship reconstruction training step
+    (published recipe views: 8 input / 24 output at 256^2) on synthetic
+    batch data; reports steps/sec (views-rendered/sec in stderr)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from latentfusion_tpu import zoo
+    from latentfusion_tpu.train.step import (init_gan_train_state,
+                                             make_optimizer,
+                                             make_recon_train_step)
+
+    v_in, v_out = (8, 24) if not args.tiny else (2, 2)
+    b = 1
+    sculptor = (zoo.flagship_sculptor(input_size) if not args.tiny
+                else zoo.tiny_sculptor())
+    photographer = (zoo.flagship_photographer(input_size) if not args.tiny
+                    else zoo.tiny_photographer())
+    fuser = zoo.flagship_fuser() if not args.tiny else zoo.tiny_fuser()
+
+    print("# init params...", file=sys.stderr)
+    key = jax.random.PRNGKey(0)
+    params = zoo.init_recon_params(key, sculptor, fuser, photographer,
+                                   batch=1, views=2)
+    optimizer = make_optimizer("adam", 7.5e-4)
+    state = init_gan_train_state(params, optimizer)
+    config = {"camera_dist": camera_dist, "random_orientation": True,
+              "g_depth_recon_loss_type": "hard_smooth_l1",
+              "g_depth_recon_loss_k": 16384,
+              "g_depth_recon_loss_weight": 25.0,
+              "g_mask_recon_loss_weight": 25.0}
+    step = make_recon_train_step(sculptor, fuser, photographer, optimizer,
+                                 config=config)
+
+    print("# synthetic batch...", file=sys.stderr)
+    rng = np.random.RandomState(0)
+    w, h = 640, 480
+
+    def group(v):
+        intr = np.tile(np.asarray(
+            [[615.0, 0, w / 2, 0], [0, 615.0, h / 2, 0], [0, 0, 1, 0]],
+            np.float32)[None], (b, v, 1, 1))
+        extr = np.tile(np.eye(4, dtype=np.float32)[None, None], (b, v, 1, 1))
+        extr[..., 2, 3] = 1.5
+        return {
+            "render": rng.rand(b, v, 3, h, w).astype(np.float32),
+            "mask": (rng.rand(b, v, h, w) > 0.5).astype(np.float32),
+            "depth": rng.rand(b, v, h, w).astype(np.float32) + 1.0,
+            "extrinsic": extr, "intrinsic": intr,
+        }
+
+    batch = jax.device_put({"in": group(v_in), "in_gt": group(v_in),
+                            "out_gt": group(v_out)})
+
+    # NOTE: block_until_ready can return early on the tunneled backend;
+    # force a host transfer of the final scalar for honest timing.
+    def sync(aux):
+        return float(jax.device_get(aux["loss/generator/total"]))
+
+    print("# compiling train step...", file=sys.stderr)
+    t0 = time.time()
+    state, aux = step(state, batch, key)
+    sync(aux)
+    print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    iters = max(args.iters // 5, 3)
+    t0 = time.time()
+    for _ in range(iters):
+        state, aux = step(state, batch, key)
+    sync(aux)
+    per_step = (time.time() - t0) / iters
+
+    print(json.dumps({
+        "metric": "train_steps_per_sec_per_chip",
+        "value": round(1.0 / per_step, 3),
+        "unit": f"steps/s (flagship recon training, batch {b}, "
+                f"{v_in} in / {v_out} out views, {input_size}^2)",
+        "vs_baseline": None,
+    }))
+    print(f"# {per_step * 1e3:.1f} ms/step = "
+          f"{(v_in + v_out) * b / per_step:.1f} views/s", file=sys.stderr)
 
 
 if __name__ == "__main__":
