@@ -36,6 +36,10 @@ def add_common_args(parser: argparse.ArgumentParser):
                    help="shard the batch over all local devices")
     g.add_argument("--use-amp", action="store_true",
                    help="bf16 conv compute (TPU analog of CUDA AMP)")
+    g.add_argument("--remat", action="store_true",
+                   help="rematerialize encode/decode activations in the "
+                        "backward pass (jax.checkpoint) to fit larger "
+                        "batches")
     g.add_argument("--seed", type=int, default=0)
     return parser
 

@@ -199,6 +199,11 @@ def make_recon_train_step(sculptor, fuser, photographer, g_optimizer,
     }
     gan_weight = config.get("g_gan_loss_weight", 1.0)
 
+    # Rematerialization: trade ~1/3 extra FLOPs for activation memory so the
+    # published batch sizes fit HBM (the TPU analog of the reference's
+    # memory-motivated AMP + batch-groups; enable with config["remat"]).
+    use_remat = config.get("remat", False)
+
     def forward_and_g_loss(params, batch, key, input_noise_weight, d_params):
         proc = process_batch(batch, cube_size, camera_dist, input_size,
                              random_orientation=random_orientation, key=key)
@@ -232,12 +237,21 @@ def make_recon_train_step(sculptor, fuser, photographer, g_optimizer,
             noise = jax.random.normal(sub, depth_norm.shape) * depth_noise_std
             depth_in = jnp.clip(depth_norm + noise, -1, 1)
 
-        z_obj, z_extra = models.encode(
-            sculptor, params["sculptor"], fuser, params.get("fuser", {}),
-            proc["in"]["camera"], image_in, depth_in, mask_in)
+        def encode_fn(sp, fp, cam, img, dep, msk):
+            z, _ = models.encode(sculptor, sp, fuser, fp, cam, img, dep, msk)
+            return z
 
-        y, _, _ = models.decode(photographer, params["photographer"], z_obj,
-                                recon_camera, interpret=True)
+        def decode_fn(pp, z, cam):
+            y, _, _ = models.decode(photographer, pp, z, cam, interpret=True)
+            return y
+
+        if use_remat:
+            encode_fn = jax.checkpoint(encode_fn)
+            decode_fn = jax.checkpoint(decode_fn)
+
+        z_obj = encode_fn(params["sculptor"], params.get("fuser", {}),
+                          proc["in"]["camera"], image_in, depth_in, mask_in)
+        y = decode_fn(params["photographer"], z_obj, recon_camera)
         fake_image = y.get("color")
         if (photographer.predict_mask and photographer.predict_color):
             if crop_predicted_mask:
