@@ -22,3 +22,23 @@ import logging
 __version__ = "0.1.0"
 
 logging.getLogger(__name__).addHandler(logging.NullHandler())
+
+_LAZY_EXPORTS = {
+    "Camera": ("latentfusion_tpu.camera", "Camera"),
+    "Observation": ("latentfusion_tpu.observation", "Observation"),
+    "LatentFusionModel": ("latentfusion_tpu.recon.inference",
+                          "LatentFusionModel"),
+    "three": ("latentfusion_tpu.three", None),
+    "ops": ("latentfusion_tpu.ops", None),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level exports (keeps `import latentfusion_tpu` light)."""
+    if name in _LAZY_EXPORTS:
+        import importlib
+
+        module_name, attr = _LAZY_EXPORTS[name]
+        module = importlib.import_module(module_name)
+        return getattr(module, attr) if attr else module
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
