@@ -24,11 +24,28 @@ from .ops.gather_matmul import MAX_MATMUL_VOXELS, grid_sample_3d_matmul
 from .ops.grid_sample import grid_sample_3d
 
 
+_VOLUME_SAMPLE_BACKEND = "auto"  # "auto" | "gather" | "matmul"
+
+
+def set_volume_sample_backend(name: str) -> None:
+    """Select the 3D warp backend (perf experiments; 'auto' = matmul for
+    small latent volumes, gather otherwise)."""
+    global _VOLUME_SAMPLE_BACKEND
+    if name not in ("auto", "gather", "matmul"):
+        raise ValueError(name)
+    _VOLUME_SAMPLE_BACKEND = name
+
+
 def _volume_sample(volume, grid, padding_mode):
     """Dispatch: one-hot MXU matmul sampling for small volumes (the latent
     cubes), gather for large ones. See ops/gather_matmul.py for why."""
     d, h, w = volume.shape[-3:]
-    if d * h * w <= MAX_MATMUL_VOXELS:
+    use_matmul = d * h * w <= MAX_MATMUL_VOXELS
+    if _VOLUME_SAMPLE_BACKEND == "gather":
+        use_matmul = False
+    elif _VOLUME_SAMPLE_BACKEND == "matmul":
+        use_matmul = True
+    if use_matmul:
         return grid_sample_3d_matmul(volume, grid, padding_mode=padding_mode)
     return grid_sample_3d(volume, grid, padding_mode=padding_mode)
 
