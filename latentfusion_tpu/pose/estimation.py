@@ -614,6 +614,14 @@ class GradientPoseEstimator(PoseEstimator):
                 hist = state["loss_history"].at[state["step"]].set(
                     rank_loss.min())
 
+                if self.verbose:
+                    # Live progress (the reference's tqdm description,
+                    # estimation.py:634-643) via debug callback.
+                    jax.debug.print(
+                        "step {s}: best={b:.5f} min={m:.5f} converge={c}",
+                        s=state["step"], b=ranking.losses[0],
+                        m=rank_loss.min(), c=converge_count)
+
                 return {
                     "step": state["step"] + 1,
                     "params": params,
