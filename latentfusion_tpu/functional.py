@@ -35,6 +35,22 @@ def unit_normalize(tensor, axis, eps=1e-3):
     return tensor / (eps + jnp.linalg.norm(tensor, axis=axis, keepdims=True))
 
 
+def extract_features(layers, x, layer_names):
+    """Run ``x`` through an ordered ``(name, fn)`` layer sequence and collect
+    the activations whose names appear in ``layer_names`` (reference:
+    functional.py:4-10 iterates ``module.named_children()``; the functional
+    analog takes explicit callables — flax modules expose these via
+    ``nn.Module.apply(..., capture_intermediates=...)`` or an explicit list
+    like :class:`latentfusion_tpu.modules.vgg.VGG16Features`)."""
+    wanted = set(layer_names)
+    features = []
+    for name, fn in layers:
+        x = fn(x)
+        if name in wanted:
+            features.append(x)
+    return features
+
+
 def absolute_max_pool(tensor: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Pick the element with the largest magnitude along ``axis``, keepdims
     (reference: functional.py:47-49)."""

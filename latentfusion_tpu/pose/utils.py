@@ -166,3 +166,18 @@ def contour_loss(input_mask, target_mask):
     target_contour = mask_contour(target_mask).astype(jnp.float32)
     return jnp.abs(target_contour.sum(axis=(1, 2, 3))
                    - input_contour.sum(axis=(1, 2, 3)))
+
+
+def get_perceptual_loss(vgg_params=None, torch_state_dict=None):
+    """VGG16 perceptual loss used as the pose ``latent`` loss term
+    (reference: pose/utils.py:21-24). Accepts either flax ``vgg_params``
+    or a torchvision VGG16 ``state_dict`` (converted on the fly)."""
+    from ..modules.vgg import (build_perceptual_loss,
+                               params_from_torchvision_state_dict)
+
+    if vgg_params is None:
+        if torch_state_dict is None:
+            raise ValueError(
+                "provide vgg_params or torch_state_dict (torchvision VGG16)")
+        vgg_params = params_from_torchvision_state_dict(torch_state_dict)
+    return build_perceptual_loss(vgg_params)

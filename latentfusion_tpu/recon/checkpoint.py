@@ -153,3 +153,46 @@ def load_torch_checkpoint(path) -> Dict[str, Any]:
     import torch
 
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_models(checkpoint, kwargs=None, return_generator: bool = False):
+    """Reconstruct all modules from a full checkpoint dict
+    (reference: models.py:32-70). Returns (module, params) pairs:
+    ``(sculptor, photographer, fuser[, discriminator[, generator]])``.
+    """
+    checkpoint = patch_legacy_args(checkpoint)
+    if kwargs is None:
+        kwargs = checkpoint["args"]
+
+    sculptor = sculptor_from_checkpoint(checkpoint["modules"]["sculptor"])
+    photographer = photographer_from_checkpoint(
+        checkpoint["modules"]["photographer"])
+    fuser = fuser_from_checkpoint(checkpoint["modules"]["fuser"])
+
+    discriminator = None
+    if not kwargs.get("no_discriminator", False) and \
+            "discriminator" in checkpoint.get("modules", {}):
+        from ..pggan import MultiScaleDiscriminator
+
+        d_ckpt = checkpoint["modules"]["discriminator"]
+        args = dict(d_ckpt["args"])
+        if args.get("block_config"):
+            args["block_config"] = _to_block_config(args["block_config"])
+        discriminator = (MultiScaleDiscriminator(**args),
+                         convert_torch_state_dict(d_ckpt["state_dict"]))
+
+    if return_generator:
+        generator = None
+        gen_ckpt = checkpoint.get("modules", {}).get("generator")
+        if gen_ckpt is not None:
+            from ..modules import unet
+
+            args = dict(gen_ckpt["args"])
+            args.pop("conv_module", None)
+            if args.get("block_config"):
+                args["block_config"] = _to_block_config(args["block_config"])
+            generator = (unet.UNet2d(**args),
+                         convert_torch_state_dict(gen_ckpt["state_dict"]))
+        return sculptor, fuser, photographer, discriminator, generator
+
+    return sculptor, fuser, photographer, discriminator

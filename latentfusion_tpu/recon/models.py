@@ -79,6 +79,12 @@ class Sculptor(nn.Module):
             return self.object_config[-1]
         return self.camera_config[-1]
 
+    @property
+    def image_bottleneck_size(self) -> int:
+        """(reference: models.py:161-163)"""
+        return unet.UNet2d(self.in_channels, None,
+                           self.image_config).bottleneck_size(self.in_size)
+
     def checkpoint_args(self) -> dict:
         """(reference: models.py:178-196)"""
         return {
@@ -222,6 +228,18 @@ class Photographer(nn.Module):
     @property
     def camera_out_size(self) -> int:
         return self.object_out_size * (2 ** self.camera_config.count("U"))
+
+    @property
+    def out_size(self) -> int:
+        """(reference: models.py:342-344)"""
+        return unet.UNet2d(None, None, self.image_config).output_size(
+            self.camera_out_size)
+
+    @property
+    def image_bottleneck_size(self) -> int:
+        """(reference: models.py:346-348)"""
+        return unet.UNet2d(None, None, self.image_config).bottleneck_size(
+            self.camera_out_size)
 
     def checkpoint_args(self) -> dict:
         """(reference: models.py:356-376)"""

@@ -49,6 +49,22 @@ def list_arg(cast_type=str, delimiter=","):
     return f
 
 
+def list_choices_arg(choices, cast_type=str, delimiter=","):
+    """Like :func:`list_arg` but validates each item against ``choices``
+    (reference: utils.py:32-42)."""
+    _cast = list_arg(cast_type, delimiter)
+
+    def f(s):
+        items = _cast(s)
+        for item in items:
+            if item not in choices:
+                raise ValueError(
+                    f"{item!r} is not a valid choice (choose from {choices})")
+        return items
+
+    return f
+
+
 def parse_block_str(s):
     if s in {"I", "U", "D"}:
         return s

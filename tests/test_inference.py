@@ -155,3 +155,48 @@ class TestLatentFusionModel:
         z1 = tiny_model.build_latent_object(obs)
         z2 = loaded.build_latent_object(obs)
         np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-6)
+
+
+class TestLoadModels:
+    def test_load_models_and_size_properties(self, tiny_model):
+        from latentfusion_tpu.recon import checkpoint as ckpt
+
+        def module_ckpt(module, params):
+            return {"args": module.checkpoint_args(),
+                    "state_dict": ckpt.export_torch_state_dict(params)}
+
+        full = {
+            "name": "t", "epoch": 0,
+            "args": {"no_discriminator": True,
+                     "generator_input_depth": True,
+                     "generator_input_mask": True,
+                     "predict_color": False, "predict_depth": True,
+                     "predict_mask": True},
+            "modules": {
+                "sculptor": module_ckpt(tiny_model.sculptor,
+                                        tiny_model.sculptor_params),
+                "photographer": module_ckpt(tiny_model.photographer,
+                                            tiny_model.photographer_params),
+                "fuser": {"type": "GRUFuser",
+                          "args": {"in_channels": 4, "cube_size": 1.0},
+                          "state_dict": ckpt.export_torch_state_dict(
+                              tiny_model.fuser_params)},
+            },
+        }
+        sc, fu, ph, disc = ckpt.load_models(full)
+        assert type(sc[0]).__name__ == "Sculptor"
+        assert type(fu[0]).__name__ == "GRUFuser"
+        assert type(ph[0]).__name__ == "Photographer"
+        assert disc is None
+
+        out5 = ckpt.load_models(full, return_generator=True)
+        assert len(out5) == 5 and out5[-1] is None
+
+        # size accounting (reference: models.py:161-163, 342-348)
+        sculptor, photographer = sc[0], ph[0]
+        assert sculptor.image_bottleneck_size == (
+            sculptor.in_size // 2 ** (
+                sculptor.image_config[0].count("D")
+                + sculptor.image_config[0].count("I")))
+        assert photographer.out_size >= photographer.camera_out_size
+        assert photographer.image_bottleneck_size <= photographer.camera_out_size

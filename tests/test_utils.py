@@ -77,3 +77,26 @@ def test_manual_seed_scopes():
     assert outer == a  # state restored
     with utils.manual_seed(7):
         assert random.random() == inner
+
+
+def test_list_choices_arg():
+    """(reference: utils.py:32-42)"""
+    import pytest
+
+    f = utils.list_choices_arg(["a", "b"])
+    assert f("a,b") == ["a", "b"]
+    assert f("") == []
+    with pytest.raises(ValueError):
+        f("a,c")
+
+
+def test_extract_features():
+    """(reference: functional.py:4-10)"""
+    import jax.numpy as jnp
+
+    from latentfusion_tpu.functional import extract_features
+
+    layers = [("a", lambda x: x + 1), ("b", lambda x: x * 2),
+              ("c", lambda x: x - 3)]
+    feats = extract_features(layers, jnp.zeros(()), ["a", "c"])
+    assert [float(f) for f in feats] == [1.0, -1.0]
