@@ -39,6 +39,9 @@ def main():
                         help="tiny model (smoke test)")
     parser.add_argument("--hypotheses", type=int, default=8,
                         help="adam_quick uses 8 (reference config)")
+    parser.add_argument("--objects", type=int, default=1,
+                        help="gradient mode: refine N objects jointly via "
+                             "estimate_batch (N x hypotheses per iter)")
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--mode", default="gradient",
                         choices=["gradient", "cem", "full", "train"],
@@ -158,11 +161,30 @@ def main():
         # (8 hypotheses, 256^2): 40.3 GFLOP per hypothesis forward.
         fwd_flops_per_hyp = 40.3e9 if not args.tiny else float("nan")
 
-    def run_estimate():
-        if args.mode == "cem":
+    if args.objects > 1 and args.mode == "gradient":
+        # Multi-object batched refinement: every object owns a block of
+        # `hypotheses` cameras; all blocks share one decoder batch.
+        from latentfusion_tpu.camera import Camera
+        from latentfusion_tpu.observation import Observation
+
+        z_objs = jnp.concatenate([z_obj] * args.objects, axis=0)
+        targets = Observation.collate([target_obs] * args.objects)
+        batch_cams = jax.jit(lambda: Camera.cat([
+            pu.sample_cameras_with_estimate(
+                args.hypotheses, cam0, key=jax.random.PRNGKey(10 + i))
+            for i in range(args.objects)]))()
+        hyp_per_iter = args.hypotheses * args.objects
+
+        def run_estimate():
+            res = est.estimate_batch(z_objs, targets, cameras=batch_cams)
+            return res[-1].translation
+    else:
+        def run_estimate():
+            if args.mode == "cem":
+                return est.estimate(z_obj, target_obs,
+                                    key=jax.random.PRNGKey(2)).translation
             return est.estimate(z_obj, target_obs,
-                                key=jax.random.PRNGKey(2)).translation
-        return est.estimate(z_obj, target_obs, camera=init_cam).translation
+                                camera=init_cam).translation
 
     # Warmup (compile).
     print("# compiling refinement loop...", file=sys.stderr)
@@ -187,6 +209,8 @@ def main():
 
     desc = ("fwd+bwd, flagship decoder" if args.mode == "gradient"
             else "fwd scoring, flagship decoder, cem")
+    if args.objects > 1 and args.mode == "gradient":
+        desc += f", {args.objects} objects batched"
     print(json.dumps({
         "metric": "pose_hypotheses_per_sec_per_chip",
         "value": round(hyp_per_sec, 2),

@@ -181,6 +181,45 @@ def update_ranking(ranking: Ranking, losses, camera: Camera, step) -> tuple:
     return new, delta
 
 
+def init_ranking_batch(num_objects: int, k: int) -> Ranking:
+    """Per-object top-K ranking: every field gets a leading object axis."""
+    return Ranking(
+        losses=jnp.full((num_objects, k), jnp.inf),
+        log_quaternion=jnp.zeros((num_objects, k, 3)),
+        translation=jnp.zeros((num_objects, k, 3)),
+        viewport=jnp.zeros((num_objects, k, 4)),
+        steps=jnp.full((num_objects, k), -1, dtype=jnp.int32),
+    )
+
+
+def update_ranking_batch(ranking: Ranking, losses, log_quaternion,
+                         translation, viewport, step) -> tuple:
+    """Per-object top-K merge. ``losses`` is (B, N); pose leaves are
+    (B, N, ·). Returns ``(ranking, delta)`` with ``delta`` shaped (B,) —
+    per-object best-loss improvement (0 where not yet finite)."""
+    k = ranking.losses.shape[1]
+    all_losses = jnp.concatenate([ranking.losses, losses], axis=1)
+    idx = jnp.argsort(all_losses, axis=1)[:, :k]
+
+    def take(old, new):
+        cat = jnp.concatenate([old, new], axis=1)
+        ix = idx.reshape(idx.shape + (1,) * (cat.ndim - 2))
+        return jnp.take_along_axis(cat, ix, axis=1)
+
+    steps_new = jnp.full(losses.shape, step, dtype=jnp.int32)
+    new = Ranking(
+        jnp.take_along_axis(all_losses, idx, axis=1),
+        take(ranking.log_quaternion, log_quaternion),
+        take(ranking.translation, translation),
+        take(ranking.viewport, viewport),
+        take(ranking.steps, steps_new),
+    )
+    prev_best = ranking.losses[:, 0]
+    delta = jnp.maximum(prev_best - new.losses[:, 0], 0.0)
+    delta = jnp.where(jnp.isfinite(prev_best), delta, 0.0)
+    return new, delta
+
+
 def ranking_to_camera(ranking: Ranking, template: Camera) -> Camera:
     k = ranking.losses.shape[0]
     intrinsic = jnp.broadcast_to(template.intrinsic[:1],
@@ -490,6 +529,10 @@ class GradientPoseEstimator(PoseEstimator):
         self.converge_patience = converge_patience
         self.loss_schedules = dict(loss_schedules or {})
         self.track_stats = track_stats
+        # Jitted loops keyed by (num_objects, total_hypotheses): the object
+        # count is baked into the traced reshapes, so each batch geometry
+        # gets its own compiled program.
+        self._run_cache: Dict[tuple, Any] = {}
 
     def _transform(self):
         """(reference: estimation.py:566-577 get_optimizer)"""
@@ -522,6 +565,9 @@ class GradientPoseEstimator(PoseEstimator):
                               self.model.camera_dist)
 
         ranking, stats = self._optimize_camera(z_obj, target_obs, camera)
+        # _optimize_camera returns per-object rankings; single-object here.
+        ranking = Ranking(*(leaf[0] for leaf in ranking))
+        stats["loss_history"] = stats["loss_history"][:, 0]
         logger.info("best camera step=%d loss=%s",
                     int(ranking.steps[0]), float(ranking.losses[0]))
         best = ranking_to_camera(ranking, camera.uncrop())
@@ -529,14 +575,81 @@ class GradientPoseEstimator(PoseEstimator):
             return best, stats
         return best
 
-    def _optimize_camera(self, z_obj, target_obs, cameras: Camera):
+    def estimate_batch(self, z_objs, observations, key=None, cameras=None):
+        """Refine poses for MULTIPLE objects in one jitted loop.
+
+        TPU-native extension beyond the reference (which asserts a single
+        observation per estimate, estimation.py:166-180): every object's
+        hypotheses share the decoder batch — object ``b`` owns the
+        contiguous camera block ``[b*num_samples, (b+1)*num_samples)`` and
+        its own latent ``z_objs[b]`` (the photographer natively expands a
+        (B, 1, C, D, H, W) latent across ``len(camera)//B`` views,
+        reference: models.py:486-505). Small per-object hypothesis counts
+        therefore still fill the MXU. Rankings, plateau-LR state and
+        convergence are tracked per object; the loop stops when all objects
+        have converged (or at ``num_iters``).
+
+        Args:
+          z_objs: list of (1, 1, C, D, H, W) latents, or stacked
+            (B, 1, C, D, H, W).
+          observations: list of single-frame target Observations (or one
+            collated Observation of length B).
+          cameras: optional pre-built hypothesis cameras of length
+            B * num_samples (object-major blocks); sampled from per-object
+            depth/mask initialization when omitted.
+
+        Returns:
+          A list of B Cameras (each object's top-K ranking, best first),
+          plus a stats dict when ``track_stats``.
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if isinstance(z_objs, (list, tuple)):
+            z_objs = jnp.concatenate([jnp.asarray(z) for z in z_objs], axis=0)
+        if isinstance(observations, (list, tuple)):
+            target = Observation.collate(list(observations))
+        else:
+            target = observations
+        num_objects = z_objs.shape[0]
+        if len(target) != num_objects:
+            raise ValueError(
+                f"got {num_objects} latents but {len(target)} observations")
+
+        if cameras is None:
+            cams = []
+            for b in range(num_objects):
+                key, sub = jax.random.split(key)
+                cam_est = self.initial_pose(target[b])
+                cams.append(pu.sample_cameras_with_estimate(
+                    n=self.num_samples, camera_est=cam_est, key=sub))
+            cameras = Camera.cat(cams)
+        cameras = _zoom_camera(cameras, self.model.input_size,
+                               self.model.camera_dist)
+
+        ranking, stats = self._optimize_camera(z_objs, target, cameras,
+                                               num_objects=num_objects)
+        templates = cameras.uncrop()
+        views = cameras.length // num_objects
+        results = []
+        for b in range(num_objects):
+            rank_b = Ranking(*(leaf[b] for leaf in ranking))
+            results.append(ranking_to_camera(rank_b, templates[b * views]))
+        if self.track_stats:
+            return results, stats
+        return results
+
+    def _optimize_camera(self, z_obj, target_obs, cameras: Camera,
+                         num_objects: int = 1):
         tx = self._transform()
         use_latent = self.loss_weights.get("latent", 0.0) > 0.0
         wd = 0.01 if self.optimizer == "adamw" else 0.0
+        total = cameras.length
+        views_per_obj = total // num_objects
 
-        if self._run_jit is not None:
+        jit_key = (num_objects, total)
+        if jit_key in self._run_cache:
             init_params = pu.camera_params(cameras, optimize_viewport=True)
-            ranking, loss_history, steps = self._run_jit(
+            ranking, loss_history, steps = self._run_cache[jit_key](
                 z_obj, target_obs, init_params, cameras)
             return ranking, {"loss_history": loss_history, "num_steps": steps}
 
@@ -556,7 +669,11 @@ class GradientPoseEstimator(PoseEstimator):
             optim_loss = sum(weigh_losses(loss_dict, weights).values())
             rank_loss = sum(
                 weigh_losses(loss_dict, self.loss_weights).values())
-            return optim_loss.mean(), (rank_loss, loss_dict)
+            # SUM (not mean) over hypotheses: each pose's gradient must not
+            # depend on how many other hypotheses share the batch (the
+            # reference backprops a per-optimizer sum, estimation.py:664),
+            # which keeps estimate() and estimate_batch() exactly consistent.
+            return optim_loss.sum(), (rank_loss, loss_dict)
 
         grad_fn = jax.grad(render_loss, has_aux=True)
 
@@ -575,6 +692,10 @@ class GradientPoseEstimator(PoseEstimator):
                 grads, (rank_loss, _) = grad_fn(params, state["step"],
                                                 camera_template, target_obs,
                                                 z_obj)
+                # rank_loss was rendered at the CURRENT params; keep that
+                # pose for the ranking (the optimizer update below advances
+                # params one step past the evaluated loss).
+                rank_lq, rank_t = params["log_quaternion"], params["translation"]
 
                 updates, opt_state = tx.update(grads, state["opt_state"],
                                                params)
@@ -597,29 +718,32 @@ class GradientPoseEstimator(PoseEstimator):
                 lr = jnp.where(reduce_now, lr * self.lr_reduce_factor, lr)
                 num_bad = jnp.where(reduce_now, 0, num_bad)
 
-                # Ranking stores the uncropped (full-frame) cameras
-                # (reference: estimation.py:620-648).
-                ranked_cam = camera_template.replace(
-                    log_quaternion=params["log_quaternion"],
-                    translation=params["translation"],
-                    viewport=full_viewport)
-                ranking, delta = update_ranking(state["ranking"], rank_loss,
-                                                ranked_cam, state["step"])
+                # Ranking stores the uncropped (full-frame) poses, tracked
+                # per object (reference: estimation.py:620-648).
+                rank_mat = rank_loss.reshape(num_objects, views_per_obj)
+                ranking, delta = update_ranking_batch(
+                    state["ranking"], rank_mat,
+                    rank_lq.reshape(num_objects, views_per_obj, 3),
+                    rank_t.reshape(num_objects, views_per_obj, 3),
+                    full_viewport.reshape(num_objects, views_per_obj, 4),
+                    state["step"])
+                # Converge only once EVERY object's best loss has stalled.
+                delta_all = delta.max()
                 converge_count = jnp.where(
-                    delta < self.converge_threshold,
+                    delta_all < self.converge_threshold,
                     state["converge_count"] + 1,
-                    jnp.where(delta > self.converge_threshold, 0,
+                    jnp.where(delta_all > self.converge_threshold, 0,
                               state["converge_count"]))
 
                 hist = state["loss_history"].at[state["step"]].set(
-                    rank_loss.min())
+                    rank_mat.min(axis=1))
 
                 if self.verbose:
                     # Live progress (the reference's tqdm description,
                     # estimation.py:634-643) via debug callback.
                     jax.debug.print(
                         "step {s}: best={b:.5f} min={m:.5f} converge={c}",
-                        s=state["step"], b=ranking.losses[0],
+                        s=state["step"], b=ranking.losses[:, 0].min(),
                         m=rank_loss.min(), c=converge_count)
 
                 return {
@@ -637,6 +761,13 @@ class GradientPoseEstimator(PoseEstimator):
             return body
 
         def run(z_obj, target_obs, init_params, camera_template):
+            if num_objects > 1:
+                # Interleave-repeat target leaves so hypothesis b*N+i lines
+                # up with object b's observation; the loss then treats the
+                # batch exactly like a single object with B*N hypotheses.
+                target_obs = jax.tree_util.tree_map(
+                    lambda x: jnp.repeat(x, views_per_obj, axis=0),
+                    target_obs)
             body = make_body(camera_template,
                              camera_template.uncrop().viewport,
                              target_obs, z_obj)
@@ -644,12 +775,13 @@ class GradientPoseEstimator(PoseEstimator):
                 "step": jnp.asarray(0),
                 "params": init_params,
                 "opt_state": tx.init(init_params),
-                "lr": jnp.full((self.num_samples,), self.learning_rate),
-                "plateau_best": jnp.full((self.num_samples,), jnp.inf),
-                "num_bad": jnp.zeros((self.num_samples,), dtype=jnp.int32),
-                "ranking": init_ranking(self.ranking_size),
+                "lr": jnp.full((total,), self.learning_rate),
+                "plateau_best": jnp.full((total,), jnp.inf),
+                "num_bad": jnp.zeros((total,), dtype=jnp.int32),
+                "ranking": init_ranking_batch(num_objects, self.ranking_size),
                 "converge_count": jnp.asarray(0),
-                "loss_history": jnp.full((self.num_iters,), jnp.nan),
+                "loss_history": jnp.full((self.num_iters, num_objects),
+                                         jnp.nan),
             }
             state = jax.lax.while_loop(cond, body, state)
             return state["ranking"], state["loss_history"], state["step"]
@@ -657,21 +789,25 @@ class GradientPoseEstimator(PoseEstimator):
         # Cache the jitted loop: re-creating jax.jit per call would retrace
         # the full decode fwd+bwd graph every estimate() (~16s fixed cost
         # measured on the tunneled TPU backend).
-        self._run_jit = jax.jit(run)
+        run_jit = jax.jit(run)
+        self._run_cache[jit_key] = run_jit
         init_params = pu.camera_params(cameras, optimize_viewport=True)
-        ranking, loss_history, steps = self._run_jit(z_obj, target_obs,
-                                                     init_params, cameras)
+        ranking, loss_history, steps = run_jit(z_obj, target_obs,
+                                               init_params, cameras)
         stats = {"loss_history": loss_history, "num_steps": steps}
         return ranking, stats
 
     def _render_zoomed(self, z_obj, camera: Camera):
-        """Direct decode (camera already zoomed)
+        """Direct decode (camera already zoomed). Output (B, V, ...) view
+        groups are flattened back to the object-major hypothesis axis
         (reference: estimation.py:703-713)."""
         y, z_lat, _ = self.model.decode_latent(z_obj, camera,
                                                return_latent=True)
-        z_mask = y["mask"].squeeze(0)
-        z_mask_logits = y["mask_logits"].squeeze(0)
-        z_depth = camera.denormalize_depth(y["depth"].squeeze(0))
+        z_mask = y["mask"].reshape(-1, *y["mask"].shape[2:])
+        z_mask_logits = y["mask_logits"].reshape(
+            -1, *y["mask_logits"].shape[2:])
+        z_depth = camera.denormalize_depth(
+            y["depth"].reshape(-1, *y["depth"].shape[2:]))
         if z_lat is not None:
-            z_lat = z_lat.squeeze(0)
+            z_lat = z_lat.reshape(-1, *z_lat.shape[2:])
         return z_depth, z_mask, z_mask_logits, z_lat

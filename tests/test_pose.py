@@ -236,3 +236,69 @@ ov_depth = 0.3
     assert isinstance(est, estimation.GradientPoseEstimator)
     assert est.num_samples == 2
     assert est.loss_weights["depth"] == 1.0
+
+
+class TestGradientBatch:
+    def test_estimate_batch_matches_single(self, oracle):
+        # Two targets of the same oracle object at different poses. The
+        # batched loop must produce (per object) the same refinement as two
+        # independent single-object runs with identical hypotheses.
+        q1 = quat.random(jax.random.PRNGKey(7), 1)
+        q2 = quat.random(jax.random.PRNGKey(8), 1)
+        gt1 = testing.make_camera(1, quats=q1)
+        gt2 = testing.make_camera(1, quats=q2)
+        gt2 = gt2.replace(
+            translation=gt2.translation + jnp.array([[0.08, -0.05, 0.15]]))
+        targets = [oracle.make_observation(gt1), oracle.make_observation(gt2)]
+
+        def init_block(gt_cam, seed):
+            pert = quat.perturb(jax.random.PRNGKey(seed), gt_cam.quaternion,
+                                0.15)
+            cam = gt_cam.with_quaternion(pert).replace(
+                translation=gt_cam.translation
+                + jnp.array([[0.02, -0.02, 0.04]]))
+            cam = Camera.cat([cam] * 4)
+            return pu.perturb_camera(jax.random.PRNGKey(seed + 1), cam,
+                                     0.005, 0.02)
+
+        inits = [init_block(gt1, 11), init_block(gt2, 22)]
+        kwargs = dict(
+            model=oracle, ranking_size=4,
+            loss_weights={"depth": 1.0, "ov_depth": 0.3},
+            learning_rate=0.01, num_samples=4, num_iters=40,
+            converge_threshold=1e-6, converge_patience=40, optimizer="adam",
+            track_stats=True)
+
+        est = estimation.GradientPoseEstimator(**kwargs)
+        z_objs = jnp.zeros((2, 1, 1, 2, 2, 2))  # oracle ignores the latent
+        results, stats = est.estimate_batch(z_objs, targets,
+                                            cameras=Camera.cat(inits))
+        assert len(results) == 2
+        assert stats["loss_history"].shape == (40, 2)
+
+        single = estimation.GradientPoseEstimator(**kwargs)
+        for b in (0, 1):
+            ref, ref_stats = single.estimate(None, targets[b],
+                                             camera=inits[b])
+            best = results[b]
+            np.testing.assert_allclose(np.asarray(best.translation),
+                                       np.asarray(ref.translation),
+                                       atol=1e-3)
+            np.testing.assert_allclose(np.asarray(best.log_quaternion),
+                                       np.asarray(ref.log_quaternion),
+                                       atol=1e-3)
+            # Per-object loss history must decrease from the first step.
+            hist = np.asarray(stats["loss_history"][:, b])
+            assert np.nanmin(hist) < hist[0]
+            np.testing.assert_allclose(
+                hist, np.asarray(ref_stats["loss_history"]), atol=1e-4)
+        # Cross-assignment: each result tracks its OWN target translation.
+        t1 = float(jnp.linalg.norm(results[0].translation[0:1]
+                                   - gt1.translation, axis=-1)[0])
+        x12 = float(jnp.linalg.norm(results[0].translation[0:1]
+                                    - gt2.translation, axis=-1)[0])
+        t2 = float(jnp.linalg.norm(results[1].translation[0:1]
+                                   - gt2.translation, axis=-1)[0])
+        x21 = float(jnp.linalg.norm(results[1].translation[0:1]
+                                    - gt1.translation, axis=-1)[0])
+        assert t1 < x12 and t2 < x21
