@@ -64,3 +64,30 @@ def test_resume_and_branch(tmp_path):
     names = sorted(p.name for p in (tmp_path / "runs").iterdir())
     assert len(names) == 2
     assert any("forked" in n for n in names)
+
+
+def test_moved_dataset_path_rewrite(tmp_path):
+    """Resume keeps the CLI dataset path when the checkpointed one is gone
+    (reference: train_reconstruct.py:173-190)."""
+    import argparse
+
+    from train_reconstruct import load_checkpoint_args
+
+    live = tmp_path / "data"
+    live.mkdir()
+    args = argparse.Namespace(dataset_path=live, background_path=None,
+                              depth_background_path=None, texture_path=None,
+                              batch_size=1, resume="x", branch=False,
+                              branch_name=None, override="", save_dir=None,
+                              num_epochs=1)
+    ckpt_args = {"dataset_path": "/nonexistent/shapenet", "batch_size": 8}
+    out = load_checkpoint_args(ckpt_args, args, override="")
+    assert out.dataset_path == live        # CLI path kept (old one is gone)
+    assert out.batch_size == 8             # other args restored
+
+    # When the checkpointed path still exists it wins, as before.
+    old = tmp_path / "old"
+    old.mkdir()
+    args.dataset_path = live
+    out = load_checkpoint_args({"dataset_path": str(old)}, args, override="")
+    assert str(out.dataset_path) == str(old)

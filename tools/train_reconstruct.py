@@ -58,6 +58,15 @@ def load_checkpoint_args(ckpt_args: dict, args, override: str):
     # Control flags always come from the CLI, never the checkpoint.
     keep |= {"resume", "branch", "branch_name", "override", "save_dir",
              "num_epochs"}
+    # Moved-dataset rewrite (reference: train_reconstruct.py:173-190): if
+    # the checkpointed data paths no longer exist on this machine, keep the
+    # CLI-provided ones instead.
+    for path_key in ("dataset_path", "background_path",
+                     "depth_background_path", "texture_path"):
+        old = ckpt_args.get(path_key)
+        if old is not None and not Path(old).exists() and \
+                getattr(args, path_key, None) is not None:
+            keep.add(path_key)
     for k, v in ckpt_args.items():
         if k in keep or not hasattr(args, k) or v is None:
             continue
