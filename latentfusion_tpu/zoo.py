@@ -112,8 +112,13 @@ def init_recon_params(key, sculptor, fuser, photographer,
 
     s = sculptor.out_size
     c = sculptor.out_channels
-    zv = jnp.zeros((batch, views, c, s, s, s))
-    fuser_params = fuser.init(k2, zv, [], [], cam_in) if hasattr(
+    # Recurrent fusers only apply their cell from the SECOND view on (view 0
+    # seeds the hidden state), so initialize with >=2 views — the parameters
+    # do not depend on the view count.
+    init_views = max(views, 2)
+    zv = jnp.zeros((batch, init_views, c, s, s, s))
+    cam_fuse = canonical_camera(batch * init_views, in_size)
+    fuser_params = fuser.init(k2, zv, [], [], cam_fuse) if hasattr(
         fuser, "init") else {}
     if isinstance(fuser, (fusion.PoolFuser, fusion.ConcatFuser)):
         fuser_params = {}
