@@ -236,7 +236,7 @@ class PoseEstimator(abc.ABC):
     """(reference: estimation.py:129-216)"""
 
     def __init__(self, *, model, ranking_size, loss_weights, loss_func=None,
-                 return_camera_history=False, verbose=False):
+                 return_camera_history=False, verbose=False, mesh=None):
         self.model = model
         self.ranking_size = ranking_size
         self.loss_func = loss_func or default_pose_loss
@@ -244,9 +244,33 @@ class PoseEstimator(abc.ABC):
         self.loss_weights.update(loss_weights)
         self.return_camera_history = return_camera_history
         self.verbose = verbose
+        # Optional jax.sharding.Mesh: hypotheses are sharded over its first
+        # axis and the estimation loop runs SPMD across chips (XLA inserts
+        # the collectives for ranking/GMM reductions). The reference's only
+        # analog is single-host nn.DataParallel (torchutils.py:111-170).
+        self.mesh = mesh
         # Cached jitted estimation loop (built lazily on first estimate();
         # re-creating jax.jit per call would retrace the full render graph).
         self._run_jit = None
+
+    # ------------------------------------------------------------- sharding
+    def _shard_hypotheses(self, hyp_tree, *replicated_trees):
+        """Shard the hypothesis-axis tree over the mesh; replicate the rest.
+        No-op without a mesh."""
+        if self.mesh is None:
+            return (hyp_tree, *replicated_trees)
+        from .. import parallel
+
+        hyp_tree = parallel.shard_batch(hyp_tree, self.mesh)
+        replicated_trees = tuple(
+            parallel.replicate(t, self.mesh) if t is not None else None
+            for t in replicated_trees)
+        return (hyp_tree, *replicated_trees)
+
+    def _mesh_ctx(self):
+        import contextlib
+
+        return self.mesh if self.mesh is not None else contextlib.nullcontext()
 
     @property
     def device(self):
@@ -367,8 +391,11 @@ class MetropolisPoseEstimator(PoseEstimator):
 
             self._run_jit = jax.jit(run)
 
-        ranking = self._run_jit(key, camera, z_obj, target_obs,
-                                camera_init.translation[:, -1].mean())
+        camera, z_obj, target_obs = self._shard_hypotheses(camera, z_obj,
+                                                           target_obs)
+        with self._mesh_ctx():
+            ranking = self._run_jit(key, camera, z_obj, target_obs,
+                                    camera_init.translation[:, -1].mean())
         return ranking_to_camera(ranking, camera)
 
 
@@ -496,8 +523,11 @@ class CrossEntropyPoseEstimator(PoseEstimator):
 
         if self._run_jit is None:
             self._run_jit = jax.jit(run)
-        ranking = self._run_jit(key, self._camera_to_params(init_cameras),
-                                z_obj, target_obs, camera_init)
+        init_params, z_obj, target_obs = self._shard_hypotheses(
+            self._camera_to_params(init_cameras), z_obj, target_obs)
+        with self._mesh_ctx():
+            ranking = self._run_jit(key, init_params, z_obj, target_obs,
+                                    camera_init)
         logger.info("best camera loss=%s", float(ranking.losses[0]))
         return ranking_to_camera(ranking, camera_init)
 
@@ -649,8 +679,12 @@ class GradientPoseEstimator(PoseEstimator):
         jit_key = (num_objects, total)
         if jit_key in self._run_cache:
             init_params = pu.camera_params(cameras, optimize_viewport=True)
-            ranking, loss_history, steps = self._run_cache[jit_key](
-                z_obj, target_obs, init_params, cameras)
+            (init_params, cameras), z_obj, target_obs = (
+                self._shard_hypotheses((init_params, cameras), z_obj,
+                                       target_obs))
+            with self._mesh_ctx():
+                ranking, loss_history, steps = self._run_cache[jit_key](
+                    z_obj, target_obs, init_params, cameras)
             return ranking, {"loss_history": loss_history, "num_steps": steps}
 
         def render_loss(params, step, camera_template, target_obs, z_obj):
@@ -792,8 +826,11 @@ class GradientPoseEstimator(PoseEstimator):
         run_jit = jax.jit(run)
         self._run_cache[jit_key] = run_jit
         init_params = pu.camera_params(cameras, optimize_viewport=True)
-        ranking, loss_history, steps = run_jit(z_obj, target_obs,
-                                               init_params, cameras)
+        (init_params, cameras), z_obj, target_obs = (
+            self._shard_hypotheses((init_params, cameras), z_obj, target_obs))
+        with self._mesh_ctx():
+            ranking, loss_history, steps = run_jit(z_obj, target_obs,
+                                                   init_params, cameras)
         stats = {"loss_history": loss_history, "num_steps": steps}
         return ranking, stats
 

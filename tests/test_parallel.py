@@ -74,3 +74,60 @@ def test_camera_pytree_shards():
     assert len(sharded.translation.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(sharded.translation),
                                np.asarray(cam.translation))
+
+
+def test_mesh_sharded_gradient_estimator_matches():
+    """GradientPoseEstimator(mesh=...): the full refinement loop runs SPMD
+    over the hypothesis axis and matches the unsharded result."""
+    from latentfusion_tpu.pose import estimation
+    import latentfusion_tpu.pose.utils as pu
+
+    oracle = EllipsoidOracleModel()
+    gt_cam = make_camera(1, key=jax.random.PRNGKey(7))
+    obs = oracle.make_observation(gt_cam)
+    cams = pu.sample_cameras_with_estimate(8, gt_cam,
+                                           key=jax.random.PRNGKey(0))
+    # Few iterations: sharding changes float reduction order, and the
+    # optimizer dynamics amplify ~1e-7 loss deltas chaotically over many
+    # steps (top-K snapshots then reorder); the per-step math is identical.
+    kwargs = dict(model=oracle, ranking_size=8,
+                  loss_weights={"depth": 1.0, "ov_depth": 0.3},
+                  learning_rate=0.01, num_samples=8, num_iters=3,
+                  converge_threshold=1e-6, converge_patience=10,
+                  optimizer="adam", track_stats=True)
+
+    ref, ref_stats = estimation.GradientPoseEstimator(**kwargs).estimate(
+        None, obs, camera=cams)
+
+    mesh = parallel.make_mesh(8, axis_name=parallel.HYPOTHESIS_AXIS)
+    out, out_stats = estimation.GradientPoseEstimator(
+        mesh=mesh, **kwargs).estimate(None, obs, camera=cams)
+    np.testing.assert_allclose(np.asarray(out_stats["loss_history"]),
+                               np.asarray(ref_stats["loss_history"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.translation),
+                               np.asarray(ref.translation), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.log_quaternion),
+                               np.asarray(ref.log_quaternion), atol=1e-4)
+
+
+def test_mesh_sharded_cem_estimator_matches():
+    """CrossEntropyPoseEstimator(mesh=...): on-device GMM EM + elite ranking
+    reduce across shards and match unsharded execution."""
+    from latentfusion_tpu.pose import estimation
+
+    oracle = EllipsoidOracleModel()
+    gt_cam = make_camera(1, key=jax.random.PRNGKey(7))
+    obs = oracle.make_observation(gt_cam)
+    kwargs = dict(model=oracle, ranking_size=8, loss_weights={"depth": 1.0},
+                  num_samples=16, num_iters=2, num_elites=8,
+                  num_gmm_components=2, learning_rate=0.9,
+                  sample_flipped=False)
+
+    ref = estimation.CrossEntropyPoseEstimator(**kwargs).estimate(
+        None, obs, key=jax.random.PRNGKey(3))
+    mesh = parallel.make_mesh(8, axis_name=parallel.HYPOTHESIS_AXIS)
+    out = estimation.CrossEntropyPoseEstimator(mesh=mesh, **kwargs).estimate(
+        None, obs, key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(out.translation),
+                               np.asarray(ref.translation), atol=1e-4)
