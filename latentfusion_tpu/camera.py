@@ -15,14 +15,13 @@ All methods are functional: mutators like ``rotate`` return new Cameras.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 
 from . import three
 from .ops.affine_resample import bbox_source_coords, separable_resample_2d
-from .ops.grid_sample import grid_sample_2d
 from .three import quaternion as quat
 from .three.batchview import b2bv, bv2b
 

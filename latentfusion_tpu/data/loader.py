@@ -13,8 +13,7 @@ from __future__ import annotations
 import itertools
 import logging
 import multiprocessing as mp
-import queue as queue_mod
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

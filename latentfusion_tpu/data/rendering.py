@@ -7,7 +7,6 @@ the realsense canonical-frame handling is preserved.
 """
 from __future__ import annotations
 
-import math
 import random
 from typing import Optional, Tuple
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import collections
 import logging
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -6,8 +6,6 @@ fuser, depth+mask heads, no discriminator. Latent object: 256ch x 16^3.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
