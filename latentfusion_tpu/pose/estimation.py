@@ -295,17 +295,20 @@ class PoseEstimator(abc.ABC):
 
     # ------------------------------------------------------------- rendering
     def _render_hypotheses(self, z_obj, camera: Camera):
-        """Zoom hypothesis cameras, decode, denormalize depth
-        (reference: estimation.py:207-216). Pure (jit-safe)."""
+        """Zoom hypothesis cameras, decode, denormalize depth. Output
+        (B, V, ...) view groups are flattened back to the object-major
+        hypothesis axis (reference: estimation.py:207-216). Pure (jit-safe)."""
         z_camera = camera.zoom(None, self.model.input_size,
                                self.model.camera_dist)
         y, z_lat, _ = self.model.decode_latent(z_obj, z_camera,
                                                return_latent=True)
-        z_mask = y["mask"].squeeze(0)
-        z_mask_logits = y["mask_logits"].squeeze(0)
-        z_depth = z_camera.denormalize_depth(y["depth"].squeeze(0)) * z_mask
+        z_mask = y["mask"].reshape(-1, *y["mask"].shape[2:])
+        z_mask_logits = y["mask_logits"].reshape(
+            -1, *y["mask_logits"].shape[2:])
+        z_depth = z_camera.denormalize_depth(
+            y["depth"].reshape(-1, *y["depth"].shape[2:])) * z_mask
         if z_lat is not None:
-            z_lat = z_lat.squeeze(0)
+            z_lat = z_lat.reshape(-1, *z_lat.shape[2:])
         return z_depth, z_mask_logits, z_lat, z_camera
 
     def _maybe_latent_code(self, target_obs, camera):
@@ -425,6 +428,8 @@ class CrossEntropyPoseEstimator(PoseEstimator):
         self.gmm_em_iters = gmm_em_iters
         self.elite_sched = ExponentialScheduler(num_samples, num_elites,
                                                 num_iters)
+        # Jitted multi-object loops keyed by (num_objects,).
+        self._run_batch_cache: Dict[tuple, Any] = {}
 
     @classmethod
     def _camera_to_params(cls, camera: Camera):
@@ -530,6 +535,162 @@ class CrossEntropyPoseEstimator(PoseEstimator):
                                     camera_init)
         logger.info("best camera loss=%s", float(ranking.losses[0]))
         return ranking_to_camera(ranking, camera_init)
+
+    def estimate_batch(self, z_objs, observations, key=None):
+        """Coarse-search MULTIPLE objects in one jitted CEM loop.
+
+        TPU-native extension beyond the reference (single observation only,
+        estimation.py:166-180): object ``b`` owns the contiguous hypothesis
+        block ``[b*num_samples, (b+1)*num_samples)`` with its own vmapped
+        GMM, elite annealing and top-K ranking, while every iteration's
+        renders share one decoder batch. The ``latent`` loss term and
+        ``mesh`` sharding are not supported in batched mode.
+
+        Args:
+          z_objs: list of (1, 1, C, D, H, W) latents or stacked (B, 1, ...).
+          observations: list of single-frame targets (or collated, len B).
+
+        Returns:
+          A list of B Cameras (each object's top-K ranking, best first).
+        """
+        if self.loss_weights.get("latent", 0.0) > 0.0:
+            raise NotImplementedError(
+                "latent loss is not supported in estimate_batch")
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "mesh sharding is not supported in CEM estimate_batch")
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if isinstance(z_objs, (list, tuple)):
+            z_objs = jnp.concatenate([jnp.asarray(z) for z in z_objs], axis=0)
+        if isinstance(observations, (list, tuple)):
+            target = Observation.collate(list(observations))
+        else:
+            target = observations
+        num_objects = z_objs.shape[0]
+        if len(target) != num_objects:
+            raise ValueError(
+                f"got {num_objects} latents but {len(target)} observations")
+
+        inits, cam_inits = [], []
+        for b in range(num_objects):
+            key, sub = jax.random.split(key)
+            cam_est = self.initial_pose(target[b])
+            cam_inits.append(cam_est)
+            inits.append(pu.sample_cameras_with_estimate(
+                n=self.num_gmm_components * self.num_samples,
+                camera_est=cam_est, upright=self.init_upright,
+                hemisphere=self.init_hemisphere, key=sub))
+        camera_init = Camera.cat(cam_inits)
+        init_params = jnp.stack(
+            [self._camera_to_params(c) for c in inits])  # (B, Ninit, 6)
+
+        jit_key = (num_objects,)
+        if jit_key not in self._run_batch_cache:
+            self._run_batch_cache[jit_key] = jax.jit(
+                self._make_batch_run(num_objects))
+        ranking = self._run_batch_cache[jit_key](key, init_params, z_objs,
+                                                 target, camera_init)
+        return [ranking_to_camera(Ranking(*(leaf[b] for leaf in ranking)),
+                                  camera_init[b])
+                for b in range(num_objects)]
+
+    def _make_batch_run(self, num_objects: int):
+        """Build the multi-object CEM loop (per-object GMMs via vmap)."""
+        num_draw = (self.num_samples // 4 if self.sample_flipped
+                    else self.num_samples)
+        n_total = self.num_samples
+
+        def sample_poses(key, sample_gmm):
+            k1, k2, k3 = jax.random.split(key, 3)
+            params = gmm_lib.sample(k1, sample_gmm, num_draw)
+            params = params.at[:, :3].add(
+                jax.random.normal(k2, (num_draw, 3)) * self.translation_std)
+            params = params.at[:, 3:].add(
+                jax.random.normal(k3, (num_draw, 3)) * self.quaternion_std)
+            return params
+
+        def cameras_from_flat(flat_params, template):
+            per_obj = flat_params.shape[0] // num_objects
+            intrinsic = jnp.repeat(template.intrinsic, per_obj, axis=0)
+            return Camera(intrinsic=intrinsic, extrinsic=None,
+                          translation=flat_params[:, :3],
+                          log_quaternion=flat_params[:, 3:],
+                          width=template.width, height=template.height,
+                          z_span=template.z_span)
+
+        def with_flips(cams, template):
+            """4 axis-flip variants, reordered so each object's hypotheses
+            stay a contiguous block (decode requires object-major order)."""
+            variants = [cams,
+                        pu.flip_camera(cams, (0.0, 0.0, 1.0)),
+                        pu.flip_camera(cams, (0.0, 1.0, 0.0)),
+                        pu.flip_camera(cams, (1.0, 0.0, 0.0))]
+
+            def reorder(leaves):
+                x = jnp.stack(leaves)  # (4, B*draw, ...)
+                x = x.reshape(4, num_objects, num_draw, *x.shape[2:])
+                x = jnp.moveaxis(x, 0, 1)  # (B, 4, draw, ...)
+                return x.reshape(num_objects * 4 * num_draw, *x.shape[3:])
+
+            return Camera(
+                reorder([v.intrinsic for v in variants]), None,
+                template.z_span,
+                reorder([v.viewport for v in variants]),
+                log_quaternion=reorder([v.log_quaternion for v in variants]),
+                translation=reorder([v.translation for v in variants]),
+                width=template.width, height=template.height)
+
+        fit_one = lambda k, x, w=None: gmm_lib.fit(
+            k, x, self.num_gmm_components, sample_weights=w,
+            n_iter=self.gmm_em_iters)
+
+        def body(step, state):
+            key, prev_gmm, cur_gmm, ranking, z_obj, target_rep, template = state
+            key, k_samp, k_fit = jax.random.split(key, 3)
+
+            sample_gmm = jax.vmap(
+                lambda o, n: gmm_lib.blend(o, n, self.learning_rate))(
+                    prev_gmm, cur_gmm)
+            samp_keys = jax.random.split(k_samp, num_objects)
+            params = jax.vmap(sample_poses)(samp_keys, sample_gmm)
+            cams = cameras_from_flat(params.reshape(-1, 6), template)
+            if self.sample_flipped:
+                cams = with_flips(cams, template)
+
+            loss, _ = self._score_hypotheses(z_obj, target_rep, cams)
+            loss_mat = loss.reshape(num_objects, n_total)
+
+            num_elites = self.elite_sched.get(step)
+            rank_of = jnp.argsort(jnp.argsort(loss_mat, axis=1), axis=1)
+            elite_w = (rank_of < num_elites).astype(jnp.float32)
+
+            all_params = self._camera_to_params(cams).reshape(
+                num_objects, n_total, 6)
+            fit_keys = jax.random.split(k_fit, num_objects)
+            new_gmm = jax.vmap(fit_one)(fit_keys, all_params, elite_w)
+            ranking, _ = update_ranking_batch(
+                ranking, loss_mat,
+                cams.log_quaternion.reshape(num_objects, n_total, 3),
+                cams.translation.reshape(num_objects, n_total, 3),
+                cams.viewport.reshape(num_objects, n_total, 4), step)
+            return (key, cur_gmm, new_gmm, ranking, z_obj, target_rep,
+                    template)
+
+        def run(key, init_params, z_obj, target_obs, template):
+            # Interleave-repeat the targets to the per-iteration hypothesis
+            # layout (object-major blocks of n_total).
+            target_rep = jax.tree_util.tree_map(
+                lambda x: jnp.repeat(x, n_total, axis=0), target_obs)
+            k0, kloop = jax.random.split(key)
+            fit_keys = jax.random.split(k0, num_objects)
+            gmm0 = jax.vmap(lambda k, x: fit_one(k, x))(fit_keys, init_params)
+            ranking = init_ranking_batch(num_objects, self.ranking_size)
+            state = (kloop, gmm0, gmm0, ranking, z_obj, target_rep, template)
+            state = jax.lax.fori_loop(0, self.num_iters, body, state)
+            return state[3]
+
+        return run
 
 
 # ------------------------------------------------------------------- gradient
