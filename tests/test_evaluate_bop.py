@@ -166,7 +166,7 @@ def test_evaluate_bop_end_to_end(tmp_path):
         "--dataset-path", str(root), "--scene-path", str(scene),
         "--object-id", "1", "--num-input-views", "3", "--num-frames", "2",
         "--coarse-config", str(coarse_cfg), "--fine-config", str(fine_cfg),
-        "--top-k", "4", "--out", str(out)])
+        "--top-k", "4", "--batch-frames", "2", "--out", str(out)])
 
     assert len(rows) == 2
     for r in rows:

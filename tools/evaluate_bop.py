@@ -56,6 +56,10 @@ def parse_args(argv=None):
                         / "configs/adam_quick.toml")
     parser.add_argument("--top-k", type=int, default=8,
                         help="coarse hypotheses refined by the fine stage")
+    parser.add_argument("--batch-frames", type=int, default=1,
+                        help="estimate this many eval frames jointly via "
+                             "estimate_batch (same latent, per-frame "
+                             "hypothesis blocks share the decoder batch)")
     parser.add_argument("--center-object", action="store_true")
     parser.add_argument("--out", type=Path,
                         help="write per-frame metrics JSON here")
@@ -80,6 +84,23 @@ def evaluate_frame(model, coarse, fine, z_obj, obs, top_k, key):
     """Coarse search then gradient refinement; returns the best Camera."""
     coarse_cams = coarse.estimate(z_obj, obs, key=key)
     return fine.estimate(z_obj, obs, camera=coarse_cams[:top_k])
+
+
+def evaluate_frames_batched(model, coarse, fine, z_obj, observations,
+                            top_k, key):
+    """Estimate several frames of the same object jointly: the latent is
+    shared, each frame owns a contiguous hypothesis block, and both the
+    coarse and fine loops run as ONE jitted program over all frames."""
+    import jax.numpy as jnp
+
+    from latentfusion_tpu.camera import Camera
+
+    n = len(observations)
+    z_objs = jnp.concatenate([z_obj] * n, axis=0)
+    coarse_out = coarse.estimate_batch(z_objs, observations, key=key)
+    return fine.estimate_batch(
+        z_objs, observations,
+        cameras=Camera.cat([c[:top_k] for c in coarse_out]))
 
 
 def main(argv=None):
@@ -117,24 +138,36 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
 
     rows = []
-    for n, idx in enumerate(frame_inds):
-        obs = Observation.from_dataset(dataset, [idx])
+    group_size = max(args.batch_frames, 1)
+    groups = [frame_inds[i:i + group_size]
+              for i in range(0, len(frame_inds), group_size)]
+    done = 0
+    for group in groups:
         key, sub = jax.random.split(key)
         t0 = time.time()
-        best = evaluate_frame(model, coarse, fine, z_obj, obs,
-                              args.top_k, sub)
-        elapsed = time.time() - t0
-        m = metrics.camera_metrics(obs.camera, best[0], points,
-                                   scale_to_meters=scale_to_native)
-        m["frame"] = ids[idx]
-        m["seconds"] = round(elapsed, 3)
-        m["add_01d"] = bool(m["add"] < 0.1 * diameter)
-        m["add_s_01d"] = bool(m["add_s"] < 0.1 * diameter)
-        rows.append(m)
-        logger.info("[%d/%d] frame %s: add=%.2f add_s=%.2f (0.1d=%.2f) "
-                    "rot=%.3f rad %.1fs", n + 1, len(frame_inds), ids[idx],
-                    m["add"], m["add_s"], 0.1 * diameter,
-                    m["rotation_dist"], elapsed)
+        if len(group) > 1:
+            observations = [Observation.from_dataset(dataset, [i])
+                            for i in group]
+            bests = evaluate_frames_batched(model, coarse, fine, z_obj,
+                                            observations, args.top_k, sub)
+        else:
+            observations = [Observation.from_dataset(dataset, [group[0]])]
+            bests = [evaluate_frame(model, coarse, fine, z_obj,
+                                    observations[0], args.top_k, sub)]
+        elapsed = (time.time() - t0) / len(group)
+        for idx, obs, best in zip(group, observations, bests):
+            m = metrics.camera_metrics(obs.camera, best[0], points,
+                                       scale_to_meters=scale_to_native)
+            m["frame"] = ids[idx]
+            m["seconds"] = round(elapsed, 3)
+            m["add_01d"] = bool(m["add"] < 0.1 * diameter)
+            m["add_s_01d"] = bool(m["add_s"] < 0.1 * diameter)
+            rows.append(m)
+            done += 1
+            logger.info("[%d/%d] frame %s: add=%.2f add_s=%.2f (0.1d=%.2f) "
+                        "rot=%.3f rad %.1fs", done, len(frame_inds),
+                        ids[idx], m["add"], m["add_s"], 0.1 * diameter,
+                        m["rotation_dist"], elapsed)
 
     summary = metrics.concat_camera_metrics(
         [{k: v for k, v in r.items()
