@@ -117,7 +117,7 @@ class TestLatentFusionModel:
             return {
                 "args": module.checkpoint_args(),
                 "state_dict": {
-                    k: torch.from_numpy(np.asarray(v)) for k, v in
+                    k: torch.from_numpy(np.array(v)) for k, v in
                     ckpt.export_torch_state_dict(params).items()
                 },
             }
@@ -137,7 +137,7 @@ class TestLatentFusionModel:
                     "type": "GRUFuser",
                     "args": {"in_channels": 4, "cube_size": 1.0},
                     "state_dict": {
-                        k: torch.from_numpy(np.asarray(v)) for k, v in
+                        k: torch.from_numpy(np.array(v)) for k, v in
                         ckpt.export_torch_state_dict(
                             tiny_model.fuser_params).items()
                     },
