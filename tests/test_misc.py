@@ -183,3 +183,66 @@ class TestKinectFusionParsers:
         # second pose = rel @ canon
         np.testing.assert_allclose(poses[1][0, 3], poses[0][0, 3] + 0.5,
                                    atol=1e-6)
+
+
+class TestRealsenseDataset:
+    def _make_scene(self, tmp_path):
+        import json as json_mod
+
+        import imageio.v2 as imageio
+
+        scene = tmp_path / "capture"
+        for d in ("mask", "depth", "color", "scene"):
+            (scene / d).mkdir(parents=True)
+
+        k = np.asarray([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]],
+                       np.float32)
+        (scene / "intrinsics.json").write_text(json_mod.dumps(
+            {"intrinsic_matrix": k.T.reshape(-1).tolist()}))  # column-major
+
+        n = 3
+        log_lines = []
+        for i in range(n):
+            mat = np.eye(4)
+            mat[2, 3] = 0.5 + 0.1 * i  # camera-to-world translation
+            log_lines.append(f"{i} {i} {i + 1}")
+            log_lines.extend(" ".join(f"{v:.6f}" for v in row)
+                             for row in mat)
+            imageio.imsave(scene / "mask" / f"{i:06d}.png",
+                           np.full((48, 64), 255, np.uint8))
+            imageio.imsave(scene / "depth" / f"{i:06d}.png",
+                           np.full((48, 64), 800, np.uint16))
+            imageio.imsave(scene / "color" / f"{i:06d}.jpg",
+                           np.full((48, 64, 3), 128, np.uint8))
+        (scene / "scene" / "trajectory.log").write_text(
+            "\n".join(log_lines) + "\n")
+
+        rng = np.random.RandomState(0)
+        pts = rng.randn(60, 3).astype(np.float32) * 0.05
+        ply = ["ply", "format ascii 1.0", "element vertex 60",
+               "property float x", "property float y", "property float z",
+               "end_header"]
+        ply += [" ".join(f"{v:.5f}" for v in p) for p in pts]
+        (scene / "scene" / "integrated_cropped.ply").write_text(
+            "\n".join(ply) + "\n")
+        return scene
+
+    def test_load_scene(self, tmp_path):
+        from latentfusion_tpu.data.realsense import RealsenseDataset
+
+        scene = self._make_scene(tmp_path)
+        ds = RealsenseDataset(scene, image_scale=0.5, object_scale="auto",
+                              odometry_type="open3d")
+        assert len(ds) == 3
+        # auto scale: 1.2 / bounding size of the filtered cloud
+        assert ds.object_scale > 1.0
+        item = ds[0]
+        assert item["color"].shape == (3, 24, 32)
+        assert item["mask"].shape == (24, 32)
+        # intrinsics scaled by image_scale
+        np.testing.assert_allclose(item["intrinsic"][0, 0], 50.0, rtol=1e-6)
+        # extrinsic normalized into the centered unit-object frame
+        assert np.isfinite(item["extrinsic"]).all()
+        # farthest-point view sampling returns distinct frames
+        inds = np.asarray(ds.sample_evenly(2))
+        assert len(set(inds.tolist())) == 2
