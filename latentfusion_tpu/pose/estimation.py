@@ -401,6 +401,91 @@ class MetropolisPoseEstimator(PoseEstimator):
                                     camera_init.translation[:, -1].mean())
         return ranking_to_camera(ranking, camera)
 
+    def estimate_batch(self, z_objs, observations, key=None):
+        """Run MH chains for MULTIPLE objects in one jitted loop (TPU-native
+        extension; the reference is single-object). Chains are already
+        per-hypothesis independent — object ``b`` owns the contiguous chain
+        block ``[b*num_samples, (b+1)*num_samples)``; only the annealing
+        temperature (mean of per-object depth inits) and the per-object
+        top-K rankings differ from the single path. ``latent`` loss and
+        ``mesh`` sharding are not supported in batched mode.
+
+        Returns a list of B Cameras (each object's top-K ranking).
+        """
+        if self.loss_weights.get("latent", 0.0) > 0.0:
+            raise NotImplementedError(
+                "latent loss is not supported in estimate_batch")
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "mesh sharding is not supported in Metropolis estimate_batch")
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if isinstance(z_objs, (list, tuple)):
+            z_objs = jnp.concatenate([jnp.asarray(z) for z in z_objs], axis=0)
+        if isinstance(observations, (list, tuple)):
+            target = Observation.collate(list(observations))
+        else:
+            target = observations
+        num_objects = z_objs.shape[0]
+        if len(target) != num_objects:
+            raise ValueError(
+                f"got {num_objects} latents but {len(target)} observations")
+
+        cams, mean_zs = [], []
+        for b in range(num_objects):
+            key, sub = jax.random.split(key)
+            cam_est = self.initial_pose(target[b])
+            mean_zs.append(cam_est.translation[:, -1].mean())
+            cams.append(pu.sample_cameras_with_estimate(
+                self.num_samples, cam_est, key=sub))
+        cameras = Camera.cat(cams)
+        n = self.num_samples
+        mean_lifetime = -(self.num_iters - 1) / math.log(0.005 / 0.1)
+
+        def body(step, state):
+            key, camera, error, ranking, z_obj, target_rep, t0 = state
+            key, k1, k2 = jax.random.split(key, 3)
+            temperature = t0 * jnp.exp(-step / mean_lifetime)
+            proposal = pu.perturb_camera(k1, camera, self.translation_std,
+                                         self.quaternion_std)
+            loss, _ = self._score_hypotheses(z_obj, target_rep, proposal)
+            transition_prob = jnp.exp((error - loss) / temperature)
+            accept = transition_prob > jax.random.uniform(k2, loss.shape)
+            camera = camera.replace(
+                log_quaternion=jnp.where(accept[:, None],
+                                         proposal.log_quaternion,
+                                         camera.log_quaternion),
+                translation=jnp.where(accept[:, None], proposal.translation,
+                                      camera.translation))
+            error = jnp.where(accept, loss, error)
+            ranking, _ = update_ranking_batch(
+                ranking, error.reshape(num_objects, n),
+                camera.log_quaternion.reshape(num_objects, n, 3),
+                camera.translation.reshape(num_objects, n, 3),
+                camera.viewport.reshape(num_objects, n, 4), step)
+            return (key, camera, error, ranking, z_obj, target_rep, t0)
+
+        def run(key, camera, z_obj, target_obs, mean_z):
+            target_rep = jax.tree_util.tree_map(
+                lambda x: jnp.repeat(x, n, axis=0), target_obs)
+            t0 = 0.1 / mean_z
+            error = jnp.full((num_objects * n,), 100.0)
+            ranking = init_ranking_batch(num_objects, self.ranking_size)
+            state = (key, camera, error, ranking, z_obj, target_rep, t0)
+            state = jax.lax.fori_loop(0, self.num_iters, body, state)
+            return state[3]
+
+        jit_key = (num_objects,)
+        if not hasattr(self, "_run_batch_cache"):
+            self._run_batch_cache = {}
+        if jit_key not in self._run_batch_cache:
+            self._run_batch_cache[jit_key] = jax.jit(run)
+        ranking = self._run_batch_cache[jit_key](
+            key, cameras, z_objs, target, jnp.stack(mean_zs).mean())
+        return [ranking_to_camera(Ranking(*(leaf[b] for leaf in ranking)),
+                                  cameras[b * n])
+                for b in range(num_objects)]
+
 
 # ----------------------------------------------------------------------- CEM
 

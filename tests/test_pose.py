@@ -362,3 +362,25 @@ class TestCEMBatch:
 
         assert flip_min_dist(results[0], gt1) < flip_min_dist(results[0], gt2)
         assert flip_min_dist(results[1], gt2) < flip_min_dist(results[1], gt1)
+
+
+class TestMetropolisBatch:
+    def test_estimate_batch_two_objects(self, oracle):
+        q1 = quat.random(jax.random.PRNGKey(7), 1)
+        q2 = quat.random(jax.random.PRNGKey(9), 1)
+        gt1 = testing.make_camera(1, quats=q1)
+        gt2 = testing.make_camera(1, quats=q2)
+        targets = [oracle.make_observation(gt1), oracle.make_observation(gt2)]
+        est = estimation.MetropolisPoseEstimator(
+            model=oracle, ranking_size=4, loss_weights={"depth": 1.0},
+            num_samples=16, num_iters=20)
+        z_objs = jnp.zeros((2, 1, 1, 2, 2, 2))
+        results = est.estimate_batch(z_objs, targets,
+                                     key=jax.random.PRNGKey(0))
+        assert len(results) == 2
+        for best in results:
+            assert len(best) == 4
+            # Chains accepted some moves: ranking populated with finite
+            # losses and poses near the depth-based init (z ~ 3.9).
+            assert np.isfinite(np.asarray(best.translation)).all()
+            assert 3.0 < float(best.translation[0, 2]) < 5.0
