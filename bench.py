@@ -42,6 +42,10 @@ def main():
     parser.add_argument("--objects", type=int, default=1,
                         help="gradient mode: refine N objects jointly via "
                              "estimate_batch (N x hypotheses per iter)")
+    parser.add_argument("--noisy-masks", action="store_true",
+                        help="full mode: corrupt the target mask with the "
+                             "training mask-noise chain (MOPED real-capture "
+                             "conditions, BASELINE config #4)")
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--mode", default="gradient",
                         choices=["gradient", "cem", "full", "train"],
@@ -254,6 +258,24 @@ def bench_full_pipeline(args, model, oracle, cam0, input_size, camera_dist):
     ref_obs = jax.jit(lambda: oracle.make_observation(cam_in))()
     target_obs = jax.jit(oracle.make_observation)(cam0)
 
+    if args.noisy_masks:
+        # MOPED-conditions variant: the real captures come with imperfect
+        # segmentation masks; corrupt the target mask with the training
+        # mask-noise chain (reference: pyrender.py:177-184).
+        import numpy as np
+
+        from latentfusion_tpu.augment.masks import default_mask_corruption
+        from latentfusion_tpu.observation import Observation
+
+        corrupt = default_mask_corruption()
+        np.random.seed(0)
+        noisy = np.stack([corrupt(np.asarray(m[0]) > 0.5)
+                          for m in np.asarray(target_obs.mask)])
+        target_obs = Observation(
+            target_obs.color, target_obs.depth,
+            jnp.asarray(noisy[:, None].astype(np.float32)),
+            target_obs.camera, **target_obs.meta)
+
     coarse = estimation.CrossEntropyPoseEstimator(
         model=model, ranking_size=16, loss_weights={"depth": 1.0},
         num_samples=128, num_iters=10, num_elites=48, num_gmm_components=6,
@@ -300,6 +322,8 @@ def bench_full_pipeline(args, model, oracle, cam0, input_size, camera_dist):
 
     unit = ("s (16-view reconstruction + cross_entropy_quick + adam_slow, "
             "flagship)")
+    if args.noisy_masks:
+        unit += ", corrupted target masks (MOPED conditions)"
     if n_obj > 1:
         unit += f", amortized over {n_obj} objects batched"
     print(json.dumps({
