@@ -246,3 +246,37 @@ class TestRealsenseDataset:
         # farthest-point view sampling returns distinct frames
         inds = np.asarray(ds.sample_evenly(2))
         assert len(set(inds.tolist())) == 2
+
+
+class TestPgganGenerator:
+    def test_encoder_decoder_roundtrip_shapes(self):
+        """The progressive-growing Encoder/Decoder pair (defined but unused
+        by the shipped pipeline, reference: generator.py:64-229)."""
+        import jax
+
+        from latentfusion_tpu.pggan.generator import EncoderDecoder
+
+        model = EncoderDecoder(in_channels=3, out_channels=3,
+                               block_config=(8, 16, 32), style_size=4,
+                               output_activation="tanh")
+        x = jnp.zeros((2, 3, 16, 16))
+        z_style = jnp.zeros((2, 4))
+        params = model.init(jax.random.PRNGKey(0), x, z_style)
+        y, z_content = model.apply(params, x, z_style)
+        assert y.shape == (2, 3, 16, 16)
+        # two halving blocks: 16 -> 4 spatial, 32 channels at the bottleneck
+        assert z_content.shape == (2, 32, 4, 4)
+        assert float(jnp.abs(y).max()) <= 1.0  # tanh head
+
+    def test_no_style_no_skips(self):
+        import jax
+
+        from latentfusion_tpu.pggan.generator import EncoderDecoder
+
+        model = EncoderDecoder(in_channels=1, out_channels=2,
+                               block_config=(4, 8), style_size=0,
+                               skip_connections=False)
+        x = jnp.zeros((1, 1, 8, 8))
+        params = model.init(jax.random.PRNGKey(0), x)
+        y, _ = model.apply(params, x)
+        assert y.shape == (1, 2, 8, 8)
