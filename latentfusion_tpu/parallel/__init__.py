@@ -28,10 +28,24 @@ HYPOTHESIS_AXIS = "hypothesis"
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = DATA_AXIS,
               devices: Optional[Sequence] = None) -> Mesh:
-    """1-D device mesh over the given axis."""
+    """1-D device mesh over the given axis.
+
+    Raises if fewer than ``n_devices`` devices are available — a silently
+    truncated mesh would let multi-chip validation pass vacuously on a
+    single-device backend.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} available on backend "
+                f"'{jax.default_backend()}' — refusing to build a degraded "
+                f"mesh. For a virtual mesh, force the CPU platform with "
+                f"jax.config.update('jax_platforms', 'cpu') and "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N before "
+                f"any backend initialization (see tests/conftest.py).")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 
