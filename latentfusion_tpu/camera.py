@@ -27,8 +27,15 @@ from .three.batchview import b2bv, bv2b
 
 
 def bbox_to_grid(bbox, in_size, out_size):
-    """grid_sample grid for one pixel-space bbox (reference: geometry.py:20-33)."""
+    """grid_sample grid for one pixel-space bbox (reference: geometry.py:20-33).
+
+    Corners are truncated toward zero: the reference function is
+    ``@torch.jit.script``, and TorchScript coerces the float corners to int
+    in the ``corner / in_size`` division (verified against torch 2.13; see
+    ops/affine_resample.bbox_source_coords).
+    """
     h, w = in_size
+    bbox = jnp.trunc(bbox)
     xmin, ymin, xmax, ymax = bbox[0], bbox[1], bbox[2], bbox[3]
     gy = jnp.linspace(ymin / h, ymax / h, out_size[0]) * 2 - 1
     gx = jnp.linspace(xmin / w, xmax / w, out_size[1]) * 2 - 1

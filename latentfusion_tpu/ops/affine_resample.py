@@ -58,14 +58,25 @@ def separable_resample_2d(image, src_y, src_x, mode: str = "bilinear",
                       preferred_element_type=jnp.float32)
 
 
-def bbox_source_coords(boxes, out_size: int):
+def bbox_source_coords(boxes, out_size: int, truncate_corners: bool = True):
     """Per-axis source pixel coords for a bbox grid (matches
     ``bbox_to_grid`` + grid_sample unnormalization; reference:
     geometry.py:20-33).
 
+    ``truncate_corners`` reproduces the reference's deployed behavior
+    exactly: ``bbox_to_grid`` is ``@torch.jit.script``, and TorchScript
+    coerces the float corner ``.item()``s to integers (truncation toward
+    zero) in the ``corner / in_size`` division — verified against torch 2.13
+    (tests/test_reference_parity.py). Trained reference checkpoints saw
+    integer-truncated crop boxes, so parity requires it. The corners are
+    detached by ``.item()`` in the reference, so the zero gradient of trunc
+    matches too. Pass ``False`` for exact sub-pixel boxes.
+
     boxes: (N, 4) as (xmin, ymin, xmax, ymax). Returns (src_y (N, out),
     src_x (N, out)).
     """
+    if truncate_corners:
+        boxes = jnp.trunc(boxes)
     k = jnp.arange(out_size, dtype=jnp.float32)[None]
     denom = max(out_size - 1, 1)
     src_x = boxes[:, 0:1] + k * (boxes[:, 2:3] - boxes[:, 0:1]) / denom - 0.5

@@ -1,0 +1,300 @@
+"""Cross-framework equivalence: run the ACTUAL reference PyTorch code
+(/root/reference/latentfusion, imported via tests/reference_shim.py) and this
+repo's JAX port on identical inputs/weights and assert agreement.
+
+This is the strongest parity evidence available in this environment (the
+released checkpoints aren't present): a transposed UNet skip, a wrong
+equalized-LR scale, a drifted Camera.zoom box, or a half-z convention error in
+the volume transforms fails here even though every per-op unit test passes.
+
+Covered (VERDICT.md round-1 item #2):
+- Camera.zoom / uncrop                (reference: geometry.py:261-354)
+- CameraToObjectTransform / ObjectToCameraTransform (geometry.py:614-690)
+- Sculptor.encode (+GRUFuser)         (reference: models.py:226-258)
+- Photographer.decode                 (reference: models.py:486-505)
+- default_pose_loss                   (reference: estimation.py:70-118)
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import reference_shim  # noqa: E402
+
+torch = pytest.importorskip("torch")
+ref = reference_shim.import_reference()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from latentfusion_tpu import three  # noqa: E402
+from latentfusion_tpu.camera import Camera  # noqa: E402
+from latentfusion_tpu import transforms  # noqa: E402
+from latentfusion_tpu.recon import checkpoint as ckpt  # noqa: E402
+from latentfusion_tpu.recon import fusion as jfusion  # noqa: E402
+from latentfusion_tpu.recon import models as jmodels  # noqa: E402
+
+from latentfusion.modules import geometry as tgeom  # noqa: E402
+from latentfusion.recon import models as tmodels  # noqa: E402
+from latentfusion.recon import fusion as tfusion  # noqa: E402
+
+
+WIDTH, HEIGHT = 160, 120
+
+
+def _random_pose(rng, n):
+    """Random rotations + translations in front of the camera."""
+    q = rng.randn(n, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    t = np.stack([rng.uniform(-0.1, 0.1, n), rng.uniform(-0.1, 0.1, n),
+                  rng.uniform(1.2, 1.8, n)], axis=1).astype(np.float32)
+    return q, t
+
+
+def _camera_pair(rng, n, z_span=0.5):
+    """Identical reference-torch and jax cameras."""
+    f = 140.0
+    intrinsic = np.tile(np.array(
+        [[f, 0.0, WIDTH / 2], [0.0, f, HEIGHT / 2], [0.0, 0.0, 1.0]],
+        dtype=np.float32)[None], (n, 1, 1))
+    q, t = _random_pose(rng, n)
+    ext = np.asarray(
+        three.to_extrinsic_matrix(jnp.asarray(t), jnp.asarray(q)))
+    tcam = tgeom.Camera(torch.from_numpy(intrinsic), torch.from_numpy(ext),
+                        z_span=z_span, width=WIDTH, height=HEIGHT)
+    jcam = Camera(intrinsic, ext, z_span=z_span, width=WIDTH, height=HEIGHT)
+    np.testing.assert_allclose(np.asarray(jcam.log_quaternion),
+                               tcam.log_quaternion.numpy(), atol=1e-5)
+    return tcam, jcam
+
+
+class TestCameraParity:
+    def test_extrinsic_and_coords(self):
+        rng = np.random.RandomState(0)
+        tcam, jcam = _camera_pair(rng, 3)
+        np.testing.assert_allclose(np.asarray(jcam.extrinsic),
+                                   tcam.extrinsic.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(jcam.obj_to_image),
+                                   tcam.obj_to_image.numpy(), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(jcam.position),
+                                   tcam.position.numpy(), atol=1e-5)
+        xj, yj, zj = jcam.camera_coords(8)
+        with torch.no_grad():
+            xt, yt, zt = tcam.camera_coords(8)
+        np.testing.assert_allclose(np.asarray(xj), xt.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(yj), yt.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(zj), zt.numpy(), atol=1e-5)
+
+    def test_zoom(self):
+        rng = np.random.RandomState(1)
+        tcam, jcam = _camera_pair(rng, 2)
+        image = rng.randn(2, 3, HEIGHT, WIDTH).astype(np.float32)
+
+        with torch.no_grad():
+            t_img, t_zoomed = tcam.zoom(torch.from_numpy(image),
+                                        target_size=32, target_dist=1.5)
+        j_img, j_zoomed = jcam.zoom(jnp.asarray(image), 32, 1.5)
+
+        np.testing.assert_allclose(np.asarray(j_zoomed.viewport),
+                                   t_zoomed.viewport.numpy(), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(j_img), t_img.numpy(),
+                                   atol=1e-4)
+
+    def test_uncrop(self):
+        rng = np.random.RandomState(2)
+        tcam, jcam = _camera_pair(rng, 2)
+        t_zoomed = tcam.zoom(None, target_size=32, target_dist=1.5)
+        j_zoomed = jcam.zoom(None, 32, 1.5)
+        crop = rng.randn(2, 1, 32, 32).astype(np.float32)
+
+        for mode in ("nearest", "bilinear"):
+            with torch.no_grad():
+                t_full, _ = t_zoomed.uncrop(torch.from_numpy(crop),
+                                            scale_mode=mode)
+            j_full, _ = j_zoomed.uncrop(jnp.asarray(crop), scale_mode=mode)
+            if mode == "nearest":
+                # Nearest at exact pixel-boundary ties may round differently;
+                # require >99.5% exact agreement.
+                agree = np.mean(
+                    np.isclose(np.asarray(j_full), t_full.numpy(), atol=1e-5))
+                assert agree > 0.995, f"nearest uncrop agreement {agree}"
+            else:
+                np.testing.assert_allclose(np.asarray(j_full),
+                                           t_full.numpy(), atol=1e-4)
+
+
+class TestVolumeTransformParity:
+    def test_camera_to_object(self):
+        rng = np.random.RandomState(3)
+        tcam, jcam = _camera_pair(rng, 2)
+        t_zoomed = tcam.zoom(None, target_size=32, target_dist=1.5)
+        j_zoomed = jcam.zoom(None, 32, 1.5)
+        vol = rng.randn(2, 4, 8, 8, 8).astype(np.float32)
+
+        tblock = tgeom.CameraToObjectTransform(cube_size=1.0)
+        with torch.no_grad():
+            t_out = tblock(torch.from_numpy(vol), t_zoomed)
+        j_out = transforms.camera_to_object(jnp.asarray(vol), j_zoomed, 1.0)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   atol=2e-4)
+
+    def test_object_to_camera(self):
+        rng = np.random.RandomState(4)
+        tcam, jcam = _camera_pair(rng, 2)
+        t_zoomed = tcam.zoom(None, target_size=32, target_dist=1.5)
+        j_zoomed = jcam.zoom(None, 32, 1.5)
+        vol = rng.randn(2, 4, 8, 8, 8).astype(np.float32)
+
+        tblock = tgeom.ObjectToCameraTransform(cube_size=1.0)
+        with torch.no_grad():
+            t_out = tblock(torch.from_numpy(vol), t_zoomed)
+        j_out = transforms.object_to_camera(jnp.asarray(vol), j_zoomed, 1.0)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   atol=2e-4)
+
+
+def _tiny_ref_sculptor():
+    return tmodels.Sculptor(
+        in_size=16,
+        image_config=[[4, "D", 8], [8]],
+        camera_config=[4, 4],
+        object_config=[4, 4],
+        projection_type="factor",
+        cube_size=1.0).eval()
+
+
+def _tiny_ref_photographer():
+    # object_config must be non-empty: the reference's object_out_size
+    # property calls object_config.count('U') unconditionally when
+    # projection_type='factor' (models.py:319,336).
+    return tmodels.Photographer(
+        in_size=8,
+        image_config=[[4, "D", 8], [8, "U", 8, "U", 4]],
+        camera_config=[4, 4],
+        object_config=[4, 4],
+        projection_type="factor",
+        predict_depth=True, predict_mask=True,
+        cube_size=1.0).eval()
+
+
+def _tiny_jax_photographer():
+    return jmodels.Photographer(
+        in_size=8,
+        image_config=((4, "D", 8), (8, "U", 8, "U", 4)),
+        camera_config=(4, 4),
+        object_config=(4, 4),
+        projection_type="factor",
+        predict_depth=True, predict_mask=True,
+        cube_size=1.0)
+
+
+class TestModelParity:
+    def test_sculptor_encode(self):
+        """Full encode (UNet2d + factor projection + camera blocks + volume
+        transform + object blocks + GRU fuser) with the reference's weights
+        converted into the flax modules."""
+        from latentfusion_tpu import zoo
+
+        rng = np.random.RandomState(5)
+        torch.manual_seed(5)
+        t_sculptor = _tiny_ref_sculptor()
+        t_fuser = tfusion.GRUFuser(in_channels=4, cube_size=1.0).eval()
+        j_sculptor = zoo.tiny_sculptor()
+        j_fuser = jfusion.GRUFuser(in_channels=4, cube_size=1.0)
+
+        j_sc_params = ckpt.convert_torch_state_dict(t_sculptor.state_dict())
+        j_fu_params = ckpt.convert_torch_state_dict(t_fuser.state_dict())
+
+        B, V = 2, 3
+        color = rng.randn(B, V, 3, 16, 16).astype(np.float32)
+        mask = (rng.rand(B, V, 1, 16, 16) > 0.3).astype(np.float32)
+        tcam, jcam = _camera_pair(rng, B * V)
+        t_zoomed = tcam.zoom(None, target_size=16, target_dist=1.5)
+        j_zoomed = jcam.zoom(None, 16, 1.5)
+
+        with torch.no_grad():
+            t_z, _ = t_sculptor.encode(t_fuser, t_zoomed,
+                                       torch.from_numpy(color),
+                                       mask=torch.from_numpy(mask))
+        j_z, _ = jmodels.encode(j_sculptor, j_sc_params, j_fuser, j_fu_params,
+                                j_zoomed, jnp.asarray(color),
+                                mask=jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(j_z), t_z.numpy(),
+                                   atol=5e-4, rtol=1e-3)
+
+    def test_photographer_decode(self):
+        from latentfusion_tpu import zoo
+
+        rng = np.random.RandomState(6)
+        torch.manual_seed(6)
+        t_photographer = _tiny_ref_photographer()
+        j_photographer = _tiny_jax_photographer()
+        j_params = ckpt.convert_torch_state_dict(t_photographer.state_dict())
+
+        B, n_hyp = 1, 4
+        z_obj = rng.randn(B, 1, 4, 8, 8, 8).astype(np.float32)
+        tcam, jcam = _camera_pair(rng, n_hyp)
+        t_zoomed = tcam.zoom(None, target_size=16, target_dist=1.5)
+        j_zoomed = jcam.zoom(None, 16, 1.5)
+
+        with torch.no_grad():
+            t_y, _, _ = t_photographer.decode(torch.from_numpy(z_obj),
+                                              t_zoomed)
+        j_y, _, _ = jmodels.decode(j_photographer, j_params,
+                                   jnp.asarray(z_obj), j_zoomed)
+        for k in ("depth", "mask", "mask_logits"):
+            np.testing.assert_allclose(
+                np.asarray(j_y[k]), t_y[k].numpy(), atol=5e-4, rtol=1e-3,
+                err_msg=f"decode output {k!r} diverges from reference")
+
+
+class TestPoseLossParity:
+    def test_default_pose_loss(self):
+        from latentfusion.observation import Observation as TorchObservation
+        from latentfusion.pose import estimation as testimation
+
+        from latentfusion_tpu.observation import Observation as JaxObservation
+        from latentfusion_tpu.pose import estimation as jestimation
+
+        rng = np.random.RandomState(7)
+        # Full-frame target observation (batch 1).
+        t_target_cam, j_target_cam = _camera_pair(rng, 1)
+        color = rng.rand(1, 3, HEIGHT, WIDTH).astype(np.float32)
+        mask = np.zeros((1, 1, HEIGHT, WIDTH), np.float32)
+        mask[:, :, 30:90, 50:120] = 1.0
+        depth = (mask * rng.uniform(1.2, 1.6)).astype(np.float32)
+        # A few invalid-depth pixels inside the mask.
+        depth[:, :, 40:45, 60:70] = 0.0
+
+        t_target = TorchObservation(torch.from_numpy(color),
+                                    torch.from_numpy(depth),
+                                    torch.from_numpy(mask), t_target_cam)
+        j_target = JaxObservation(jnp.asarray(color), jnp.asarray(depth),
+                                  jnp.asarray(mask), j_target_cam)
+
+        # Hypothesis predictions in the 32^2 zoomed frame.
+        n_hyp = 3
+        t_pred_cam, j_pred_cam = _camera_pair(rng, n_hyp)
+        t_pred_zoom = t_pred_cam.zoom(None, target_size=32, target_dist=1.5)
+        j_pred_zoom = j_pred_cam.zoom(None, 32, 1.5)
+        pred_depth = rng.uniform(1.0, 1.8, (n_hyp, 1, 32, 32)).astype(
+            np.float32)
+        pred_mask_logits = rng.randn(n_hyp, 1, 32, 32).astype(np.float32) * 3
+
+        with torch.no_grad():
+            t_losses = testimation.default_pose_loss(
+                t_target, torch.from_numpy(pred_depth),
+                torch.from_numpy(pred_mask_logits), t_pred_zoom)
+        j_losses = jestimation.default_pose_loss(
+            j_target, jnp.asarray(pred_depth), jnp.asarray(pred_mask_logits),
+            j_pred_zoom)
+
+        assert set(j_losses) == set(t_losses)
+        for k in t_losses:
+            np.testing.assert_allclose(
+                np.asarray(j_losses[k]), t_losses[k].numpy(),
+                atol=2e-3, rtol=2e-3,
+                err_msg=f"pose loss {k!r} diverges from reference")
