@@ -47,6 +47,10 @@ def main():
                              "training mask-noise chain (MOPED real-capture "
                              "conditions, BASELINE config #4)")
     parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--volume-backend", default=None,
+                        choices=["auto", "gather", "matmul", "pallas"],
+                        help="3D warp backend A/B (transforms."
+                             "set_volume_sample_backend)")
     parser.add_argument("--mode", default="gradient",
                         choices=["gradient", "cem", "full", "train"],
                         help="gradient = adam_quick refinement (fwd+bwd); "
@@ -69,6 +73,11 @@ def main():
 
     if not args.fp32:
         dtypes.set_compute_dtype("bfloat16")
+
+    if args.volume_backend:
+        from latentfusion_tpu import transforms
+
+        transforms.set_volume_sample_backend(args.volume_backend)
 
     from latentfusion_tpu import testing, zoo
     from latentfusion_tpu.pose import estimation

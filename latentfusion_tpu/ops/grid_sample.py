@@ -13,9 +13,12 @@ Semantics replicate torch's defaults exactly (``align_corners=False``):
 - ``padding_mode='border'``: coordinates are clamped into bounds first
 - ``mode='nearest'``: round-half-to-even (torch uses std::nearbyint)
 
-The implementation is XLA gather based (one flattened gather per corner tap,
-fused weighting). A Pallas TPU kernel backend lives in
-``latentfusion_tpu.ops.pallas`` and can be enabled via ``set_backend``.
+The implementation here is XLA gather based (one flattened gather per corner
+tap, fused weighting) — the correctness reference. The production 3D volume
+warps dispatch through ``transforms._volume_sample`` to the faster MXU
+formulations instead: ``ops/gather_matmul.py`` (one-hot matmul, small
+volumes) and ``ops/pallas_volume.py`` (tiled Pallas kernel, large volumes);
+select explicitly with ``transforms.set_volume_sample_backend``.
 """
 from __future__ import annotations
 
@@ -25,15 +28,6 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["grid_sample_2d", "grid_sample_3d", "grid_sample"]
-
-_BACKEND = "xla"
-
-
-def set_backend(name: str) -> None:
-    global _BACKEND
-    if name not in ("xla", "pallas"):
-        raise ValueError(f"Unknown grid_sample backend {name!r}")
-    _BACKEND = name
 
 
 def _unnormalize(coord, size):

@@ -1,15 +1,23 @@
-"""Pallas TPU kernel: blockwise trilinear volume sampling.
+"""Pallas TPU kernels: blockwise trilinear volume sampling, fwd + bwd.
 
 For small latent volumes (<= 17^3) the one-hot matmul in
 ``ops/gather_matmul.py`` is ideal; for larger volumes its dense (K, J) tap
-matrix no longer fits. This kernel tiles that computation: per (batch,
-K-block, J-block) grid step it rebuilds the (BK, BJ) slice of the tap matrix
-in VMEM from broadcasted iota + the per-sample corner coordinates, and
-accumulates ``out += vol_block @ W_block^T`` on the MXU. The tap matrix never
-touches HBM.
+matrix no longer fits. These kernels tile that computation: per (batch,
+K-block, J-block) grid step they rebuild the (BK, BJ) slice of the tap
+matrix in VMEM from broadcasted iota + the per-sample corner coordinates and
+run the contraction on the MXU. The tap matrix never touches HBM.
 
-Forward semantics match ``grid_sample_3d(mode='bilinear')``; the backward
-pass reuses the gather implementation's VJP via ``jax.custom_vjp``.
+Forward semantics match ``grid_sample_3d(mode='bilinear')``. The backward is
+a real Pallas pass (VERDICT.md round-1 item #3), using the same separable
+factorization as ``gather_matmul``'s custom VJP:
+
+- d/dvol: a transposed tiled kernel accumulating ``g @ W`` over K-blocks;
+- d/dgrid: three forward-shaped kernel calls with one axis factor replaced
+  by its derivative, dotted with the cotangent over channels.
+
+Dispatched by ``transforms._volume_sample`` for volumes larger than
+``gather_matmul.MAX_MATMUL_VOXELS`` on TPU (interpret mode elsewhere);
+select explicitly with ``transforms.set_volume_sample_backend('pallas')``.
 """
 from __future__ import annotations
 
@@ -20,16 +28,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .grid_sample import _unnormalize, grid_sample_3d
+from .grid_sample import _unnormalize
 
 
-def _kernel(coords_ref, vol_ref, out_ref, *, dhw, block_j):
-    """coords_ref: (1, 8, BK) rows = (x, y, z, pad...); vol_ref: (1, C, BJ);
-    out_ref: (1, C, BK)."""
+def _tap_block(coords_ref, j0, block_j, dhw, deriv_axis):
+    """(BK, BJ) slice of the separable trilinear tap matrix.
+
+    coords_ref rows: 0-2 = (x, y, z) source coords (border-clipped already),
+    3-5 = per-axis derivative masks (zero where border clipping kills the
+    coordinate gradient). ``deriv_axis`` None|0|1|2 replaces that axis's
+    factor with its derivative (masked).
+    """
     d, h, w = dhw
-    j_step = pl.program_id(2)
-    j0 = j_step * block_j
-
     x = coords_ref[0, 0, :]
     y = coords_ref[0, 1, :]
     z = coords_ref[0, 2, :]
@@ -40,18 +50,38 @@ def _kernel(coords_ref, vol_ref, out_ref, *, dhw, block_j):
     jy = (j // w) % h
     jx = j % w
 
-    def axis_factor(coord, idx, size):
-        i0 = jnp.floor(coord)
-        w1 = coord - i0
-        i0 = i0[:, None]
-        w1 = w1[:, None]
+    def axis_factor(coord, idx):
+        i0 = jnp.floor(coord)[:, None]
+        w1 = (coord - jnp.floor(coord))[:, None]
         fidx = idx.astype(jnp.float32)
-        return ((fidx == i0) * (1.0 - w1) + (fidx == i0 + 1.0) * w1)
+        return (fidx == i0) * (1.0 - w1) + (fidx == i0 + 1.0) * w1
 
-    tap = (axis_factor(z, jz, d)
-           * axis_factor(y, jy, h)
-           * axis_factor(x, jx, w))  # (BK, BJ)
+    def axis_factor_grad(coord, idx, mask):
+        i0 = jnp.floor(coord)[:, None]
+        fidx = idx.astype(jnp.float32)
+        df = (fidx == i0 + 1.0).astype(jnp.float32) \
+            - (fidx == i0).astype(jnp.float32)
+        return df * mask[:, None]
 
+    if deriv_axis == 0:
+        fx = axis_factor_grad(x, jx, coords_ref[0, 3, :])
+    else:
+        fx = axis_factor(x, jx)
+    if deriv_axis == 1:
+        fy = axis_factor_grad(y, jy, coords_ref[0, 4, :])
+    else:
+        fy = axis_factor(y, jy)
+    if deriv_axis == 2:
+        fz = axis_factor_grad(z, jz, coords_ref[0, 5, :])
+    else:
+        fz = axis_factor(z, jz)
+    return fz * fy * fx  # (BK, BJ)
+
+
+def _kernel_fwd(coords_ref, vol_ref, out_ref, *, dhw, block_j, deriv_axis):
+    """out[c, k] (+)= vol[c, j_block] @ tap[k, j_block]^T."""
+    j_step = pl.program_id(2)
+    tap = _tap_block(coords_ref, j_step * block_j, block_j, dhw, deriv_axis)
     partial = jax.lax.dot_general(
         vol_ref[0], tap,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -66,39 +96,75 @@ def _kernel(coords_ref, vol_ref, out_ref, *, dhw, block_j):
         out_ref[0] = out_ref[0] + partial
 
 
+def _kernel_dvol(coords_ref, g_ref, out_ref, *, dhw, block_j):
+    """d_vol[c, j] (+)= g[c, k_block] @ tap[k_block, j]."""
+    k_step = pl.program_id(2)
+    j_step = pl.program_id(1)
+    tap = _tap_block(coords_ref, j_step * block_j, block_j, dhw, None)
+    partial = jax.lax.dot_general(
+        g_ref[0], tap,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (C, BJ)
+
+    @pl.when(k_step == 0)
+    def _():
+        out_ref[0] = partial
+
+    @pl.when(k_step > 0)
+    def _():
+        out_ref[0] = out_ref[0] + partial
+
+
 def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
-def _forward(input, grid, padding_mode, block_k=256, block_j=2048):
-    n, c, d, h, w = input.shape
-    out_spatial = grid.shape[1:4]
-    k = grid[0, ..., 0].size
-
+def _prep_coords(grid, dims, padding_mode, block_k):
+    """(N, 8, Kp) coords array: rows (x, y, z, mx, my, mz, 0, 0); padded
+    samples get out-of-range coords so their taps vanish."""
+    d, h, w = dims
+    n = grid.shape[0]
+    k = grid.reshape(n, -1, 3).shape[1]
     g = grid.reshape(n, -1, 3).astype(jnp.float32)
     x = _unnormalize(g[..., 0], w)
     y = _unnormalize(g[..., 1], h)
     z = _unnormalize(g[..., 2], d)
     if padding_mode == "border":
+        mx = ((x > 0.0) & (x < w - 1)).astype(jnp.float32)
+        my = ((y > 0.0) & (y < h - 1)).astype(jnp.float32)
+        mz = ((z > 0.0) & (z < d - 1)).astype(jnp.float32)
         x = jnp.clip(x, 0.0, w - 1)
         y = jnp.clip(y, 0.0, h - 1)
         z = jnp.clip(z, 0.0, d - 1)
+    else:
+        mx = my = mz = jnp.ones_like(x)
 
     kp = _round_up(k, block_k)
+    coords = jnp.stack([x, y, z, mx, my, mz], axis=1)
+    coords = jnp.pad(coords, ((0, 0), (0, 2), (0, kp - k)),
+                     constant_values=0.0)
+    # Out-of-range pad coordinate so padded samples produce zero taps.
+    pad_mask = (jnp.arange(kp) < k).astype(jnp.float32)[None, None]
+    pad_fill = jnp.where(jnp.arange(8)[None, :, None] < 3, -10.0, 0.0)
+    coords = coords * pad_mask + (1.0 - pad_mask) * pad_fill
+    return coords, k, kp
+
+
+def _forward(input, grid, padding_mode, deriv_axis=None,
+             block_k=256, block_j=2048):
+    n, c, d, h, w = input.shape
+    out_spatial = grid.shape[1:4]
+    coords, k, kp = _prep_coords(grid, (d, h, w), padding_mode, block_k)
+
     j = d * h * w
     block_j = min(block_j, _round_up(j, 128))
     jp = _round_up(j, block_j)
-
-    # (N, 8, Kp): coordinate rows padded out of range so padded samples
-    # produce zero taps. 8 sublanes to satisfy the f32 tile constraint.
-    coords = jnp.stack([x, y, z], axis=1)
-    coords = jnp.pad(coords, ((0, 0), (0, 5), (0, kp - k)),
-                     constant_values=-10.0)
     vol = jnp.pad(input.reshape(n, c, j).astype(jnp.float32),
                   ((0, 0), (0, 0), (0, jp - j)))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, dhw=(d, h, w), block_j=block_j),
+        functools.partial(_kernel_fwd, dhw=(d, h, w), block_j=block_j,
+                          deriv_axis=deriv_axis),
         grid=(n, kp // block_k, jp // block_j),
         in_specs=[
             pl.BlockSpec((1, 8, block_k), lambda ni, ki, ji: (ni, 0, ki),
@@ -115,9 +181,38 @@ def _forward(input, grid, padding_mode, block_k=256, block_j=2048):
     return out[:, :, :k].reshape(n, c, *out_spatial)
 
 
+def _dvol(g_flat, grid, dims, padding_mode, block_k=256, block_j=2048):
+    """d_vol[n, c, j] = sum_k tap[n, k, j] * g[n, c, k], tiled."""
+    d, h, w = dims
+    n, c, k = g_flat.shape
+    coords, _, kp = _prep_coords(grid, dims, padding_mode, block_k)
+
+    j = d * h * w
+    block_j = min(block_j, _round_up(j, 128))
+    jp = _round_up(j, block_j)
+    g_pad = jnp.pad(g_flat.astype(jnp.float32), ((0, 0), (0, 0), (0, kp - k)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_dvol, dhw=(d, h, w), block_j=block_j),
+        grid=(n, jp // block_j, kp // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 8, block_k), lambda ni, ji, ki: (ni, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, block_k), lambda ni, ji, ki: (ni, 0, ki),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, block_j), lambda ni, ji, ki: (ni, 0, ji),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c, jp), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(coords, g_pad)
+
+    return out[:, :, :j].reshape(n, c, d, h, w)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def grid_sample_3d_pallas(input, grid, padding_mode: str = "zeros"):
-    """Trilinear 3D grid sample (Pallas TPU kernel; interpret mode off-TPU).
+    """Trilinear 3D grid sample (Pallas TPU kernels; interpret mode off-TPU).
 
     input: (N, C, D, H, W); grid: (N, Do, Ho, Wo, 3) in [-1, 1].
     """
@@ -130,11 +225,22 @@ def _fwd(input, grid, padding_mode):
 
 def _bwd(padding_mode, residuals, g):
     input, grid = residuals
-    # Backward through the (equivalent) gather formulation.
-    _, vjp = jax.vjp(
-        lambda i, gr: grid_sample_3d(i, gr, mode="bilinear",
-                                     padding_mode=padding_mode), input, grid)
-    return vjp(g)
+    n, c, d, h, w = input.shape
+    g_flat = g.reshape(n, c, -1).astype(jnp.float32)
+
+    d_vol = _dvol(g_flat, grid, (d, h, w), padding_mode)
+
+    # Coordinate cotangents: forward-shaped kernels with one derivative
+    # factor, channel-dotted with the cotangent; chain _unnormalize's size/2.
+    def coord_grad(axis, size):
+        s = _forward(input, grid, padding_mode, deriv_axis=axis)
+        return (s.reshape(n, c, -1) * g_flat).sum(axis=1) * (size / 2.0)
+
+    dx = coord_grad(0, w)
+    dy = coord_grad(1, h)
+    dz = coord_grad(2, d)
+    d_grid = jnp.stack((dx, dy, dz), axis=-1).reshape(grid.shape)
+    return d_vol, d_grid.astype(jnp.float32)
 
 
 grid_sample_3d_pallas.defvjp(_fwd, _bwd)

@@ -24,29 +24,39 @@ from .ops.gather_matmul import MAX_MATMUL_VOXELS, grid_sample_3d_matmul
 from .ops.grid_sample import grid_sample_3d
 
 
-_VOLUME_SAMPLE_BACKEND = "auto"  # "auto" | "gather" | "matmul"
+_VOLUME_SAMPLE_BACKEND = "auto"  # "auto" | "gather" | "matmul" | "pallas"
 
 
 def set_volume_sample_backend(name: str) -> None:
-    """Select the 3D warp backend (perf experiments; 'auto' = matmul for
-    small latent volumes, gather otherwise)."""
+    """Select the 3D warp backend. 'auto' = one-hot MXU matmul for small
+    latent volumes, tiled Pallas kernel for larger ones on TPU (gather
+    elsewhere — the Pallas interpret path is slow off-TPU)."""
     global _VOLUME_SAMPLE_BACKEND
-    if name not in ("auto", "gather", "matmul"):
+    if name not in ("auto", "gather", "matmul", "pallas"):
         raise ValueError(name)
     _VOLUME_SAMPLE_BACKEND = name
 
 
 def _volume_sample(volume, grid, padding_mode):
-    """Dispatch: one-hot MXU matmul sampling for small volumes (the latent
-    cubes), gather for large ones. See ops/gather_matmul.py for why."""
+    """Dispatch between the MXU formulations (see ops/gather_matmul.py and
+    ops/pallas_volume.py for why gathers lose on TPU)."""
+    import jax
+
     d, h, w = volume.shape[-3:]
-    use_matmul = d * h * w <= MAX_MATMUL_VOXELS
-    if _VOLUME_SAMPLE_BACKEND == "gather":
-        use_matmul = False
-    elif _VOLUME_SAMPLE_BACKEND == "matmul":
-        use_matmul = True
-    if use_matmul:
+    backend = _VOLUME_SAMPLE_BACKEND
+    if backend == "auto":
+        if d * h * w <= MAX_MATMUL_VOXELS:
+            backend = "matmul"
+        elif jax.default_backend() == "tpu":
+            backend = "pallas"
+        else:
+            backend = "gather"
+    if backend == "matmul":
         return grid_sample_3d_matmul(volume, grid, padding_mode=padding_mode)
+    if backend == "pallas":
+        from .ops.pallas_volume import grid_sample_3d_pallas
+
+        return grid_sample_3d_pallas(volume, grid, padding_mode=padding_mode)
     return grid_sample_3d(volume, grid, padding_mode=padding_mode)
 
 

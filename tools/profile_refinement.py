@@ -16,7 +16,10 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 
 
 def top_ops(trace_dir, k=25):
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    except ImportError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     pbs = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"))
     if not pbs:
