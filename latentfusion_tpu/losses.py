@@ -45,7 +45,13 @@ def hard_pixel_loss(base_loss_fn, x, y, k: int, reduction="mean"):
     if y.ndim > 4:
         y = y.reshape(-1, *y.shape[-3:])
     loss = base_loss_fn(x, y, reduction=None)
-    loss = loss.mean(axis=1).reshape(x.shape[0], -1)
+    # The reference applies the configured reduction to the channel axis too
+    # (losses.py:54: reduce_loss(loss, dim=1, reduction=self.reduction)).
+    if reduction == "sum":
+        loss = loss.sum(axis=1)
+    else:
+        loss = loss.mean(axis=1)
+    loss = loss.reshape(x.shape[0], -1)
     k = min(k, loss.shape[1])
     loss, _ = jax.lax.top_k(loss, k)
     return reduce_loss(loss, reduction)

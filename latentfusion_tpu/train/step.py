@@ -3,7 +3,8 @@
 Behavioral reference: ``tools/train/train_reconstruct.py:421-604``
 (run_iteration) — the published recipe (train.sh) trains with no
 discriminator: generator losses only (depth hard-smooth-L1 top-k + mask BCE
-[+ color, + mask beta prior]). The GAN path lives in ``train/gan.py``.
+[+ color, + mask beta prior]). The GAN path is ``make_recon_train_step``'s
+discriminator branch below in this module.
 
 TPU mapping: one jitted step; batch sharded over the ``data`` mesh axis
 (gradients psum'd by XLA over ICI); bf16-friendly conv stacks; gradient
