@@ -272,6 +272,25 @@ class PoseEstimator(abc.ABC):
 
         return self.mesh if self.mesh is not None else contextlib.nullcontext()
 
+    def _constrain_hypotheses(self, tree):
+        """Force hypothesis-axis sharding on a tree of (N, ...) leaves built
+        INSIDE the jitted loop (freshly sampled cameras have no input
+        sharding to propagate from, so without a constraint XLA may
+        replicate the decode). No-op without a mesh or when N doesn't divide
+        the mesh."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ns = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+
+        def constrain(x):
+            if x.ndim >= 1 and x.shape[0] % self.mesh.size == 0:
+                return jax.lax.with_sharding_constraint(x, ns)
+            return x
+
+        return jax.tree_util.tree_map(constrain, tree)
+
     @property
     def device(self):
         return self.model.device
@@ -407,17 +426,12 @@ class MetropolisPoseEstimator(PoseEstimator):
         per-hypothesis independent — object ``b`` owns the contiguous chain
         block ``[b*num_samples, (b+1)*num_samples)``; only the annealing
         temperature (mean of per-object depth inits) and the per-object
-        top-K rankings differ from the single path. ``latent`` loss and
-        ``mesh`` sharding are not supported in batched mode.
+        top-K rankings differ from the single path. With ``mesh=`` the
+        object-major hypothesis axis is sharded across chips (the
+        per-object ranking reductions cross shards via XLA collectives).
 
         Returns a list of B Cameras (each object's top-K ranking).
         """
-        if self.loss_weights.get("latent", 0.0) > 0.0:
-            raise NotImplementedError(
-                "latent loss is not supported in estimate_batch")
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "mesh sharding is not supported in Metropolis estimate_batch")
         if key is None:
             key = jax.random.PRNGKey(0)
         if isinstance(z_objs, (list, tuple)):
@@ -440,6 +454,7 @@ class MetropolisPoseEstimator(PoseEstimator):
                 self.num_samples, cam_est, key=sub))
         cameras = Camera.cat(cams)
         n = self.num_samples
+        use_latent = self.loss_weights.get("latent", 0.0) > 0.0
         mean_lifetime = -(self.num_iters - 1) / math.log(0.005 / 0.1)
 
         def body(step, state):
@@ -448,7 +463,13 @@ class MetropolisPoseEstimator(PoseEstimator):
             temperature = t0 * jnp.exp(-step / mean_lifetime)
             proposal = pu.perturb_camera(k1, camera, self.translation_std,
                                          self.quaternion_std)
-            loss, _ = self._score_hypotheses(z_obj, target_rep, proposal)
+            # target_rep is hypothesis-aligned (B*n frames), so the latent
+            # code pairs each chain with its own object's observation —
+            # same semantics as the single path (reference: estimation.py:282).
+            z_target_latent = (self.model.compute_latent_code(
+                target_rep, proposal) if use_latent else None)
+            loss, _ = self._score_hypotheses(z_obj, target_rep, proposal,
+                                             z_target_latent)
             transition_prob = jnp.exp((error - loss) / temperature)
             accept = transition_prob > jax.random.uniform(k2, loss.shape)
             camera = camera.replace(
@@ -480,8 +501,12 @@ class MetropolisPoseEstimator(PoseEstimator):
             self._run_batch_cache = {}
         if jit_key not in self._run_batch_cache:
             self._run_batch_cache[jit_key] = jax.jit(run)
-        ranking = self._run_batch_cache[jit_key](
-            key, cameras, z_objs, target, jnp.stack(mean_zs).mean())
+        sharded_cameras, z_objs, target = self._shard_hypotheses(
+            cameras, z_objs, target)
+        with self._mesh_ctx():
+            ranking = self._run_batch_cache[jit_key](
+                key, sharded_cameras, z_objs, target,
+                jnp.stack(mean_zs).mean())
         return [ranking_to_camera(Ranking(*(leaf[b] for leaf in ranking)),
                                   cameras[b * n])
                 for b in range(num_objects)]
@@ -580,6 +605,7 @@ class CrossEntropyPoseEstimator(PoseEstimator):
                     pu.flip_camera(cameras, (0.0, 1.0, 0.0)),
                     pu.flip_camera(cameras, (1.0, 0.0, 0.0)),
                 ])
+            cameras = self._constrain_hypotheses(cameras)
 
             z_target_latent = (self.model.compute_latent_code(
                 target_obs, cameras[0]) if use_latent else None)
@@ -628,8 +654,8 @@ class CrossEntropyPoseEstimator(PoseEstimator):
         estimation.py:166-180): object ``b`` owns the contiguous hypothesis
         block ``[b*num_samples, (b+1)*num_samples)`` with its own vmapped
         GMM, elite annealing and top-K ranking, while every iteration's
-        renders share one decoder batch. The ``latent`` loss term and
-        ``mesh`` sharding are not supported in batched mode.
+        renders share one decoder batch. With ``mesh=`` the object-major
+        hypothesis axis is sharded across chips.
 
         Args:
           z_objs: list of (1, 1, C, D, H, W) latents or stacked (B, 1, ...).
@@ -638,12 +664,6 @@ class CrossEntropyPoseEstimator(PoseEstimator):
         Returns:
           A list of B Cameras (each object's top-K ranking, best first).
         """
-        if self.loss_weights.get("latent", 0.0) > 0.0:
-            raise NotImplementedError(
-                "latent loss is not supported in estimate_batch")
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "mesh sharding is not supported in CEM estimate_batch")
         if key is None:
             key = jax.random.PRNGKey(0)
         if isinstance(z_objs, (list, tuple)):
@@ -674,8 +694,14 @@ class CrossEntropyPoseEstimator(PoseEstimator):
         if jit_key not in self._run_batch_cache:
             self._run_batch_cache[jit_key] = jax.jit(
                 self._make_batch_run(num_objects))
-        ranking = self._run_batch_cache[jit_key](key, init_params, z_objs,
-                                                 target, camera_init)
+        if self.mesh is not None:
+            from .. import parallel
+
+            z_objs = parallel.replicate(z_objs, self.mesh)
+            target = parallel.replicate(target, self.mesh)
+        with self._mesh_ctx():
+            ranking = self._run_batch_cache[jit_key](key, init_params, z_objs,
+                                                     target, camera_init)
         return [ranking_to_camera(Ranking(*(leaf[b] for leaf in ranking)),
                                   camera_init[b])
                 for b in range(num_objects)]
@@ -742,8 +768,24 @@ class CrossEntropyPoseEstimator(PoseEstimator):
             cams = cameras_from_flat(params.reshape(-1, 6), template)
             if self.sample_flipped:
                 cams = with_flips(cams, template)
+            # Freshly sampled cameras have no input sharding to propagate
+            # from; pin the hypothesis axis onto the mesh.
+            cams = self._constrain_hypotheses(cams)
 
-            loss, _ = self._score_hypotheses(z_obj, target_rep, cams)
+            if self.loss_weights.get("latent", 0.0) > 0.0:
+                # The reference computes one target latent at the first
+                # hypothesis camera (estimation.py:393); per object that is
+                # the first camera of its block, repeated across the block.
+                first = cams[::n_total]
+                target_first = jax.tree_util.tree_map(
+                    lambda x: x[::n_total], target_rep)
+                z_t = self.model.compute_latent_code(target_first, first)
+                z_target_latent = jnp.repeat(z_t, n_total, axis=0)
+            else:
+                z_target_latent = None
+
+            loss, _ = self._score_hypotheses(z_obj, target_rep, cams,
+                                             z_target_latent)
             loss_mat = loss.reshape(num_objects, n_total)
 
             num_elites = self.elite_sched.get(step)

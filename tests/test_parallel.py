@@ -111,6 +111,98 @@ def test_mesh_sharded_gradient_estimator_matches():
                                np.asarray(ref.log_quaternion), atol=1e-4)
 
 
+def test_mesh_sharded_multi_object_gradient_batch_matches():
+    """estimate_batch composes with mesh=: 2 objects x 8 hypotheses sharded
+    over the virtual mesh match unsharded refinement (VERDICT r1 item #7)."""
+    from latentfusion_tpu.pose import estimation
+    import latentfusion_tpu.pose.utils as pu
+    from latentfusion_tpu.observation import Observation
+
+    oracle = EllipsoidOracleModel()
+    gt1 = make_camera(1, key=jax.random.PRNGKey(7))
+    gt2 = make_camera(1, key=jax.random.PRNGKey(8))
+    obs = Observation.collate([oracle.make_observation(gt1),
+                               oracle.make_observation(gt2)])
+    from latentfusion_tpu.camera import Camera
+
+    hyp = Camera.cat([
+        pu.sample_cameras_with_estimate(8, gt1, key=jax.random.PRNGKey(0)),
+        pu.sample_cameras_with_estimate(8, gt2, key=jax.random.PRNGKey(1)),
+    ])
+    z_objs = jnp.zeros((2, 1, 1, 1, 1, 1))  # oracle ignores the latent
+
+    kwargs = dict(model=oracle, ranking_size=4,
+                  loss_weights={"depth": 1.0}, learning_rate=0.01,
+                  num_samples=8, num_iters=3, converge_threshold=1e-6,
+                  converge_patience=10, optimizer="adam")
+
+    ref = estimation.GradientPoseEstimator(**kwargs).estimate_batch(
+        z_objs, obs, cameras=hyp)
+    mesh = parallel.make_mesh(8, axis_name=parallel.HYPOTHESIS_AXIS)
+    out = estimation.GradientPoseEstimator(
+        mesh=mesh, **kwargs).estimate_batch(z_objs, obs, cameras=hyp)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o.translation),
+                                   np.asarray(r.translation), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(o.log_quaternion),
+                                   np.asarray(r.log_quaternion), atol=1e-4)
+
+
+def test_mesh_sharded_multi_object_cem_batch_matches():
+    """CEM estimate_batch with mesh=: per-object GMMs + elites reduce across
+    shards and match unsharded execution."""
+    from latentfusion_tpu.pose import estimation
+    from latentfusion_tpu.observation import Observation
+
+    oracle = EllipsoidOracleModel()
+    gt1 = make_camera(1, key=jax.random.PRNGKey(7))
+    gt2 = make_camera(1, key=jax.random.PRNGKey(8))
+    obs = Observation.collate([oracle.make_observation(gt1),
+                               oracle.make_observation(gt2)])
+    z_objs = jnp.zeros((2, 1, 1, 1, 1, 1))
+
+    kwargs = dict(model=oracle, ranking_size=4, loss_weights={"depth": 1.0},
+                  num_samples=8, num_iters=2, num_elites=4,
+                  num_gmm_components=2, learning_rate=0.9,
+                  sample_flipped=False)
+
+    ref = estimation.CrossEntropyPoseEstimator(**kwargs).estimate_batch(
+        z_objs, obs, key=jax.random.PRNGKey(3))
+    mesh = parallel.make_mesh(8, axis_name=parallel.HYPOTHESIS_AXIS)
+    out = estimation.CrossEntropyPoseEstimator(
+        mesh=mesh, **kwargs).estimate_batch(z_objs, obs,
+                                            key=jax.random.PRNGKey(3))
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o.translation),
+                                   np.asarray(r.translation), atol=1e-4)
+
+
+def test_mesh_sharded_metropolis_batch_matches():
+    """Metropolis estimate_batch with mesh= matches unsharded chains."""
+    from latentfusion_tpu.pose import estimation
+    from latentfusion_tpu.observation import Observation
+
+    oracle = EllipsoidOracleModel()
+    gt1 = make_camera(1, key=jax.random.PRNGKey(7))
+    gt2 = make_camera(1, key=jax.random.PRNGKey(8))
+    obs = Observation.collate([oracle.make_observation(gt1),
+                               oracle.make_observation(gt2)])
+    z_objs = jnp.zeros((2, 1, 1, 1, 1, 1))
+
+    kwargs = dict(model=oracle, ranking_size=4, loss_weights={"depth": 1.0},
+                  num_samples=8, num_iters=3)
+
+    ref = estimation.MetropolisPoseEstimator(**kwargs).estimate_batch(
+        z_objs, obs, key=jax.random.PRNGKey(3))
+    mesh = parallel.make_mesh(8, axis_name=parallel.HYPOTHESIS_AXIS)
+    out = estimation.MetropolisPoseEstimator(
+        mesh=mesh, **kwargs).estimate_batch(z_objs, obs,
+                                            key=jax.random.PRNGKey(3))
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o.translation),
+                                   np.asarray(r.translation), atol=1e-4)
+
+
 def test_mesh_sharded_cem_estimator_matches():
     """CrossEntropyPoseEstimator(mesh=...): on-device GMM EM + elite ranking
     reduce across shards and match unsharded execution."""
