@@ -94,6 +94,11 @@ class EllipsoidOracleModel:
     def compute_latent_code(self, observation, camera):
         return jnp.zeros((camera.length, 1))
 
+    def build_latent_object(self, observation) -> jnp.ndarray:
+        """Dummy latent with the (B, 1, C, D, H, W) contract (the oracle
+        renders analytically and ignores it)."""
+        return jnp.zeros((1, 1, 1, 1, 1, 1))
+
     def make_observation(self, camera: Camera,
                          full_size: Optional[tuple] = None) -> Observation:
         """Ground-truth full-frame observation of the ellipsoid."""
