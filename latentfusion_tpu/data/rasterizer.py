@@ -38,6 +38,10 @@ def _load_library():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,   # faces
             ctypes.POINTER(ctypes.c_float),                 # vertex_colors
             ctypes.POINTER(ctypes.c_float),                 # vertex_normals
+            ctypes.POINTER(ctypes.c_float),                 # uvs
+            ctypes.POINTER(ctypes.c_float),                 # texture
+            ctypes.c_int, ctypes.c_int,                     # tex_w, tex_h
+            ctypes.c_float,                                 # uv_scale
             ctypes.POINTER(ctypes.c_float),                 # extrinsic
             ctypes.POINTER(ctypes.c_float),                 # intrinsic
             ctypes.c_int, ctypes.c_int,                     # width, height
@@ -46,6 +50,8 @@ def _load_library():
             ctypes.POINTER(ctypes.c_float),                 # light_intensity
             ctypes.c_int,                                   # n_lights
             ctypes.c_float,                                 # ambient
+            ctypes.c_float,                                 # specular
+            ctypes.c_float,                                 # shininess
             ctypes.c_int,                                   # shade
             ctypes.POINTER(ctypes.c_float),                 # out_color
             ctypes.POINTER(ctypes.c_float),                 # out_depth
@@ -68,13 +74,23 @@ def rasterize(vertices: np.ndarray, faces: np.ndarray,
               width: int, height: int,
               vertex_colors: Optional[np.ndarray] = None,
               vertex_normals: Optional[np.ndarray] = None,
+              uvs: Optional[np.ndarray] = None,
+              texture: Optional[np.ndarray] = None,
+              uv_scale: float = 1.0,
               light_pos: Optional[np.ndarray] = None,
               light_color: Optional[np.ndarray] = None,
               light_intensity: Optional[np.ndarray] = None,
               ambient: float = 0.1,
+              specular: float = 0.0,
+              shininess: float = 32.0,
               shade: bool = True) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Render a mesh. Returns (color (H,W,3) float [0,1], depth (H,W),
-    mask (H,W) = depth > 0)."""
+    mask (H,W) = depth > 0).
+
+    ``uvs`` (V, 2) + ``texture`` (Th, Tw, 3 float [0,1]) enable UV-mapped
+    albedo with wrap addressing and ``uv_scale`` tiling; ``specular`` /
+    ``shininess`` add a Blinn-Phong lobe (reference's metallic-roughness
+    materials, pyrender.py:232-250)."""
     vertices = np.ascontiguousarray(vertices, dtype=np.float32)
     faces = np.ascontiguousarray(faces, dtype=np.int32)
     extrinsic = np.ascontiguousarray(extrinsic, dtype=np.float32).reshape(4, 4)
@@ -84,6 +100,12 @@ def rasterize(vertices: np.ndarray, faces: np.ndarray,
         vertex_colors = np.ascontiguousarray(vertex_colors, dtype=np.float32)
     if vertex_normals is not None:
         vertex_normals = np.ascontiguousarray(vertex_normals, dtype=np.float32)
+    if uvs is not None:
+        uvs = np.ascontiguousarray(uvs, dtype=np.float32)
+    tex_w = tex_h = 0
+    if texture is not None:
+        texture = np.ascontiguousarray(texture, dtype=np.float32)
+        tex_h, tex_w = texture.shape[:2]
     n_lights = 0 if light_pos is None else len(light_pos)
     if n_lights:
         light_pos = np.ascontiguousarray(light_pos, dtype=np.float32)
@@ -99,25 +121,30 @@ def rasterize(vertices: np.ndarray, faces: np.ndarray,
             _fptr(vertices), len(vertices),
             faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces),
             _fptr(vertex_colors), _fptr(vertex_normals),
+            _fptr(uvs), _fptr(texture), tex_w, tex_h, float(uv_scale),
             _fptr(extrinsic), _fptr(intrinsic),
             width, height,
             _fptr(light_pos if n_lights else None),
             _fptr(light_color if n_lights else None),
             _fptr(light_intensity if n_lights else None),
-            n_lights, float(ambient), int(shade),
-            _fptr(color), _fptr(depth))
+            n_lights, float(ambient), float(specular), float(shininess),
+            int(shade), _fptr(color), _fptr(depth))
     else:
         _rasterize_numpy(vertices, faces, extrinsic, intrinsic, width, height,
-                         vertex_colors, vertex_normals, light_pos, light_color,
-                         light_intensity, ambient, shade, color, depth)
+                         vertex_colors, vertex_normals, uvs, texture,
+                         uv_scale, light_pos, light_color,
+                         light_intensity, ambient, specular, shininess,
+                         shade, color, depth)
     mask = (depth > 0).astype(np.float32)
     return color, depth, mask
 
 
 def _rasterize_numpy(vertices, faces, extrinsic, intrinsic, width, height,
-                     vertex_colors, vertex_normals, light_pos, light_color,
-                     light_intensity, ambient, shade, color, depth):
+                     vertex_colors, vertex_normals, uvs, texture, uv_scale,
+                     light_pos, light_color, light_intensity, ambient,
+                     specular, shininess, shade, color, depth):
     """Reference numpy implementation (slow; used when no C++ toolchain)."""
+    cam_center = -extrinsic[:3, :3].T @ extrinsic[:3, 3]
     cam = vertices @ extrinsic[:3, :3].T + extrinsic[:3, 3]
     z = np.maximum(cam[:, 2], 1e-6)
     px = np.stack([intrinsic[0, 0] * cam[:, 0] / z + intrinsic[0, 2],
@@ -157,7 +184,25 @@ def _rasterize_numpy(vertices, faces, extrinsic, intrinsic, width, height,
         if not closer.any():
             continue
         b = np.stack([w0 * izs[0], w1 * izs[1], w2 * izs[2]]) * zp[None]
-        if vertex_colors is not None:
+        if uvs is not None and texture is not None:
+            th, tw = texture.shape[:2]
+            uvp = np.einsum("kij,kc->ijc", b, uvs[tri]) * uv_scale
+            uvp -= np.floor(uvp)
+            tu = uvp[..., 0] * tw - 0.5
+            tv = (1.0 - uvp[..., 1]) * th - 0.5
+            u0 = np.floor(tu).astype(int)
+            v0 = np.floor(tv).astype(int)
+            wu = (tu - u0)[..., None]
+            wv = (tv - v0)[..., None]
+            u1, v1 = (u0 + 1) % tw, (v0 + 1) % th
+            u0, v0 = u0 % tw, v0 % th
+            alb = ((1 - wv) * ((1 - wu) * texture[v0, u0]
+                               + wu * texture[v0, u1])
+                   + wv * ((1 - wu) * texture[v1, u0]
+                           + wu * texture[v1, u1])).astype(np.float32)
+            if vertex_colors is not None:
+                alb = alb * np.einsum("kij,kc->ijc", b, vertex_colors[tri])
+        elif vertex_colors is not None:
             alb = np.einsum("kij,kc->ijc", b, vertex_colors[tri])
         else:
             alb = np.full((*zp.shape, 3), 0.8, dtype=np.float32)
@@ -166,14 +211,25 @@ def _rasterize_numpy(vertices, faces, extrinsic, intrinsic, width, height,
             n = np.einsum("kij,kc->ijc", b, vertex_normals[tri])
             n /= np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12
             sh = np.full(zp.shape + (3,), ambient, dtype=np.float32)
+            spec = np.zeros(zp.shape + (3,), dtype=np.float32)
             if light_pos is not None:
+                vdir = cam_center[None, None] - p
+                vdir = vdir / (np.linalg.norm(vdir, axis=-1, keepdims=True)
+                               + 1e-12)
                 for lp, lc, li in zip(light_pos, light_color, light_intensity):
                     ldir = lp[None, None] - p
                     d2 = (ldir ** 2).sum(-1, keepdims=True) + 1e-9
                     ldir = ldir / np.sqrt(d2)
                     lam = np.abs((n * ldir).sum(-1, keepdims=True))
                     sh += lam * (li / d2) * lc[None, None]
-            alb = np.minimum(1.0, alb * sh)
+                    if specular > 0:
+                        hv = ldir + vdir
+                        hv = hv / (np.linalg.norm(hv, axis=-1, keepdims=True)
+                                   + 1e-12)
+                        nh = np.abs((n * hv).sum(-1, keepdims=True))
+                        spec += specular * nh ** shininess * (li / d2) \
+                            * lc[None, None]
+            alb = np.minimum(1.0, alb * sh + spec)
         region = (slice(ymin, ymax + 1), slice(xmin, xmax + 1))
         zbuf[region] = np.where(closer, zp, zbuf[region])
         depth[region] = np.where(closer, zp, depth[region])

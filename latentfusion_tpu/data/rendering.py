@@ -62,6 +62,18 @@ class SceneContext:
         # lights: list of (position (3,), color (3,), intensity)
         self.lights = []
         self.ambient = 0.1
+        # Blinn-Phong material (approximates the reference's
+        # metallic-roughness PBR, pyrender.py:232-250): specular strength +
+        # roughness in (0, 1] mapped to the Phong exponent below.
+        self.specular = 0.0
+        self.roughness = 1.0
+
+    @property
+    def shininess(self) -> float:
+        """Roughness -> Blinn-Phong exponent (Beckmann-style 2/r^4 - 2
+        mapping, clamped)."""
+        r = max(float(self.roughness), 0.05)
+        return float(np.clip(2.0 / r ** 4 - 2.0, 1.0, 4096.0))
 
     @property
     def object_quaternion(self):
@@ -120,35 +132,43 @@ class Renderer:
         self.height = height
 
     def render(self, context: SceneContext) -> Tuple:
-        mesh = context.obj.meshes[0]
         vertices = np.concatenate([m.vertices for m in context.obj.meshes])
         # Re-index faces into the merged vertex buffer.
         faces = []
         colors = []
         normals = []
+        uvs = []
         offset = 0
         has_colors = all(m.vertex_colors is not None
                          for m in context.obj.meshes)
+        has_uvs = all(m.uvs is not None for m in context.obj.meshes)
         for m in context.obj.meshes:
             faces.append(m.faces + offset)
             normals.append(m.vertex_normals)
             if has_colors:
                 colors.append(m.vertex_colors)
+            if has_uvs:
+                uvs.append(m.uvs)
             offset += len(m.vertices)
         faces = np.concatenate(faces)
         normals = np.concatenate(normals)
         colors = np.concatenate(colors) if has_colors else None
+        uvs = np.concatenate(uvs) if has_uvs else None
+        # Single-texture objects: take the first mesh's attached material.
+        texture = context.obj.meshes[0].texture if has_uvs else None
+        uv_scale = context.obj.meshes[0].uv_scale
 
         lights = context.lights
         color, depth, mask = rasterizer.rasterize(
             vertices, faces, context.extrinsic, context.intrinsic,
             self.width, self.height,
             vertex_colors=colors, vertex_normals=normals,
+            uvs=uvs, texture=texture, uv_scale=uv_scale,
             light_pos=np.stack([l[0] for l in lights]) if lights else None,
             light_color=np.stack([l[1] for l in lights]) if lights else None,
             light_intensity=np.asarray([l[2] for l in lights],
                                        dtype=np.float32) if lights else None,
-            ambient=context.ambient)
-        del mesh
+            ambient=context.ambient, specular=context.specular,
+            shininess=context.shininess)
         return (jnp.asarray(color), jnp.asarray(depth),
                 jnp.asarray((depth > 0).astype(np.float32)))

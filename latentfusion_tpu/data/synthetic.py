@@ -10,9 +10,11 @@ training. Returns ``{'in', 'in_gt', 'out_gt'}`` groups with
 render/mask/depth/extrinsic/intrinsic stacks (numpy, host-side).
 
 Renders through the native C++ rasterizer (data/rasterizer.py) instead of
-pyrender/EGL. PBR metallic-roughness materials and UV textures are
-approximated by random per-object albedo (optionally modulated by a random
-texture image sampled at vertices); SURVEY.md §2.14.
+pyrender/EGL. Materials follow the reference's recipe: UV-mapped textures
+with random tile rescale when the mesh has texture coordinates (planar
+vertex-color projection as the no-UV fallback), plus a Blinn-Phong specular
+lobe with MERL-shaped roughness draws standing in for the
+metallic-roughness BRDF (reference: pyrender.py:232-250); SURVEY.md §2.14.
 """
 from __future__ import annotations
 
@@ -200,15 +202,39 @@ class SyntheticDataset:
                 logger.warning("failed to read depth image %s", path)
         raise RuntimeError("could not load a background depth")
 
+    def sample_roughness(self) -> float:
+        """Roughness distribution shaped like the reference's MERL-measured
+        material roughness CSV (pyrender.py:241-243 samples a measured BRDF
+        roughness): most materials are moderately rough with a glossy tail.
+        Beta(2, 3) over (0.05, 1.0] matches the MERL histogram's mass around
+        0.3-0.5 with occasional near-specular draws."""
+        return float(np.clip(np.random.beta(2.0, 3.0), 0.05, 1.0))
+
     def _apply_random_material(self, obj):
-        """Random albedo (optionally sampled from a texture image) per mesh
-        (approximates reference: pyrender.py:232-250 PBR materials)."""
+        """Random per-mesh material (reference: pyrender.py:232-250
+        metallic-roughness PBR with UV-rescaled COCO textures):
+
+        - meshes WITH UVs get the texture image UV-mapped with a random
+          tile scale (the reference's UV rescale) via the rasterizer's
+          bilinear texture path;
+        - meshes without UVs fall back to a random planar projection baked
+          into vertex colors.
+        """
         for mesh in obj.meshes:
+            mesh.texture = None
+            mesh.uv_scale = 1.0
             if self.texture_paths and random.random() < 0.9:
                 tex = self.load_random_image(self.texture_paths)
+                base = np.random.uniform(0.5, 1.0, 3)
+                if mesh.uvs is not None:
+                    mesh.texture = np.clip(
+                        tex.astype(np.float32) / 255.0 * base, 0, 1)
+                    mesh.uv_scale = random.uniform(1.0, 8.0)
+                    mesh.vertex_colors = None
+                    continue
                 th, tw = tex.shape[:2]
                 # Sample the texture with a random planar projection of the
-                # vertices (no UVs needed).
+                # vertices (no UVs present).
                 v = mesh.vertices
                 axes = np.random.permutation(3)[:2]
                 uv = v[:, axes]
@@ -217,7 +243,6 @@ class SyntheticDataset:
                 scale = random.uniform(1.0, 8.0)
                 ui = (uv[:, 0] * (tw - 1) * scale % (tw - 1)).astype(int)
                 vi = (uv[:, 1] * (th - 1) * scale % (th - 1)).astype(int)
-                base = np.random.uniform(0.5, 1.0, 3)
                 mesh.vertex_colors = np.clip(
                     tex[vi, ui].astype(np.float32) / 255.0 * base, 0, 1)
             else:
@@ -269,9 +294,13 @@ class SyntheticDataset:
                 self.num_outputs, disk_sample=self.disk_sample_cameras)
 
         obj, _ = self._load_object()
+        context = rendering.SceneContext(obj, intrinsic)
         if self.random_materials:
             self._apply_random_material(obj)
-        context = rendering.SceneContext(obj, intrinsic)
+            # MERL-style roughness draw -> Blinn-Phong lobe (the reference's
+            # metallic-roughness specular, pyrender.py:241-246).
+            context.roughness = self.sample_roughness()
+            context.specular = random.uniform(0.05, 0.6)
 
         color_bg_base = (self.load_random_image(self.color_background_paths)
                          if self.color_background_paths else None)

@@ -33,26 +33,54 @@ def compute_vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarra
 # ------------------------------------------------------------------ loaders
 
 def load_obj(path) -> dict:
-    """Minimal Wavefront OBJ loader (v / vn / vt / f; polygon faces are
-    fan-triangulated)."""
-    vertices, normals, uvs, faces = [], [], [], []
+    """Minimal Wavefront OBJ loader (v / vt / f; polygon faces are
+    fan-triangulated). When the file has texture coordinates, vertices are
+    split per distinct (v, vt) corner pair so UVs are per-vertex (the
+    layout the rasterizer consumes)."""
+    vertices, uvs, faces = [], [], []
+    corner_map = {}
+    out_vertices, out_uvs = [], []
+
+    def corner(tok):
+        parts = tok.split("/")
+        vi = int(parts[0])
+        vi = vi - 1 if vi > 0 else len(vertices) + vi
+        ti = None
+        if len(parts) > 1 and parts[1]:
+            ti = int(parts[1])
+            ti = ti - 1 if ti > 0 else len(uvs) + ti
+        key = (vi, ti)
+        if key not in corner_map:
+            corner_map[key] = len(out_vertices)
+            out_vertices.append(vertices[vi])
+            out_uvs.append(uvs[ti] if ti is not None else (0.0, 0.0))
+        return corner_map[key]
+
     with open(path, "r", errors="replace") as f:
-        for line in f:
-            if line.startswith("v "):
-                parts = line.split()
-                vertices.append([float(x) for x in parts[1:4]])
-            elif line.startswith("f "):
-                idx = []
-                for tok in line.split()[1:]:
-                    vi = tok.split("/")[0]
-                    i = int(vi)
-                    idx.append(i - 1 if i > 0 else len(vertices) + i)
-                for k in range(1, len(idx) - 1):
-                    faces.append([idx[0], idx[k], idx[k + 1]])
-    return {
-        "vertices": np.asarray(vertices, dtype=np.float32),
+        lines = f.readlines()
+    has_uvs = False
+    for line in lines:
+        if line.startswith("v "):
+            parts = line.split()
+            vertices.append([float(x) for x in parts[1:4]])
+        elif line.startswith("vt "):
+            parts = line.split()
+            uvs.append((float(parts[1]),
+                        float(parts[2]) if len(parts) > 2 else 0.0))
+            has_uvs = True
+    for line in lines:
+        if line.startswith("f "):
+            idx = [corner(tok) for tok in line.split()[1:]]
+            for k in range(1, len(idx) - 1):
+                faces.append([idx[0], idx[k], idx[k + 1]])
+
+    out = {
+        "vertices": np.asarray(out_vertices, dtype=np.float32).reshape(-1, 3),
         "faces": np.asarray(faces, dtype=np.int32).reshape(-1, 3),
     }
+    if has_uvs:
+        out["uvs"] = np.asarray(out_uvs, dtype=np.float32).reshape(-1, 2)
+    return out
 
 
 def load_off(path) -> dict:
@@ -175,11 +203,18 @@ class Mesh:
     """A single mesh part (stand-in for trimesh.Trimesh)."""
 
     def __init__(self, vertices, faces, vertex_colors=None,
-                 vertex_normals=None):
+                 vertex_normals=None, uvs=None):
         self.vertices = np.asarray(vertices, dtype=np.float32)
         self.faces = np.asarray(faces, dtype=np.int32)
         self.vertex_colors = vertex_colors
         self._vertex_normals = vertex_normals
+        # Per-vertex texture coordinates (V, 2) or None; consumed by the
+        # rasterizer's UV-mapped albedo path.
+        self.uvs = uvs
+        # Material attached by the synthesis pipeline: (texture (Th,Tw,3)
+        # float [0,1], uv_scale) or None.
+        self.texture = None
+        self.uv_scale = 1.0
 
     @property
     def vertex_normals(self):
@@ -206,7 +241,8 @@ class Object3D:
         else:
             d = load_mesh(path)
             self.meshes = [Mesh(d["vertices"], d["faces"],
-                                vertex_colors=d.get("vertex_colors"))]
+                                vertex_colors=d.get("vertex_colors"),
+                                uvs=d.get("uvs"))]
         self.path = path
         self.scale = 1.0
 

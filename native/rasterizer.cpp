@@ -6,9 +6,13 @@
 // the device (SURVEY.md §2.11 "Dataset/render offload").
 //
 // Model: pinhole intrinsics, object->camera extrinsic (OpenCV convention,
-// +z forward), z-buffer, barycentric interpolation, Lambertian shading with
+// +z forward), z-buffer, barycentric interpolation, Blinn-Phong shading
+// (Lambertian diffuse + roughness-controlled specular lobe, approximating
+// the reference's metallic-roughness PBR materials with MERL-sampled
+// roughness, reference: datasets/training/pyrender.py:232-250) with
 // ambient + point lights (intensity / d^2 falloff, matching pyrender's
-// PointLight), no backface culling (reference uses SKIP_CULL_FACES).
+// PointLight), optional UV-mapped texture albedo (with the reference's
+// UV-rescale), no backface culling (reference uses SKIP_CULL_FACES).
 //
 // Build: make -C native   (produces librasterizer.so)
 
@@ -41,12 +45,19 @@ extern "C" {
 // All matrices row-major. extrinsic: 4x4 object->camera. intrinsic: 3x3.
 // vertex_colors / vertex_normals may be null (defaults: albedo 0.8,
 // computed face normals). light_* may be null (n_lights = 0).
+// uvs (n_vertices * 2) + texture (tex_h * tex_w * 3, [0,1] rgb) enable
+// UV-mapped albedo (bilinear, wrap); uv_scale rescales the UVs (the
+// reference's random texture-scale augmentation). specular = Blinn-Phong
+// ks; shininess = exponent (derive from roughness as 2/r^4 - 2).
 // out_color: H*W*3 (unshaded albedo written when shade == 0),
 // out_depth: H*W (0 where no geometry).
 void rasterize(const float* vertices, int n_vertices,
                const int32_t* faces, int n_faces,
                const float* vertex_colors,
                const float* vertex_normals,
+               const float* uvs,
+               const float* texture, int tex_w, int tex_h,
+               float uv_scale,
                const float* extrinsic,
                const float* intrinsic,
                int width, int height,
@@ -55,11 +66,26 @@ void rasterize(const float* vertices, int n_vertices,
                const float* light_intensity,  // (L,)
                int n_lights,
                float ambient,
+               float specular,
+               float shininess,
                int shade,
                float* out_color,
                float* out_depth) {
     const float fx = intrinsic[0], cx = intrinsic[2];
     const float fy = intrinsic[4], cy = intrinsic[5];
+    const bool use_texture = uvs != nullptr && texture != nullptr &&
+                             tex_w > 0 && tex_h > 0;
+
+    // Camera center in object space: C = -R^T t (for the specular half
+    // vector).
+    Vec3 cam_center = {0.f, 0.f, 0.f};
+    {
+        const float tx = extrinsic[3], ty = extrinsic[7], tz = extrinsic[11];
+        cam_center = {
+            -(extrinsic[0] * tx + extrinsic[4] * ty + extrinsic[8] * tz),
+            -(extrinsic[1] * tx + extrinsic[5] * ty + extrinsic[9] * tz),
+            -(extrinsic[2] * tx + extrinsic[6] * ty + extrinsic[10] * tz)};
+    }
 
     std::fill(out_depth, out_depth + width * height, 0.0f);
     std::fill(out_color, out_color + width * height * 3, 0.0f);
@@ -125,7 +151,43 @@ void rasterize(const float* vertices, int n_vertices,
                 float b0 = w0 * iz0 * z, b1 = w1 * iz1 * z, b2 = w2 * iz2 * z;
 
                 float albedo[3] = {0.8f, 0.8f, 0.8f};
-                if (vertex_colors) {
+                if (use_texture) {
+                    // Perspective-correct UV, rescaled then wrapped
+                    // (reference rescales UVs into [0, scale] and tiles).
+                    float u = (b0 * uvs[2 * i0] + b1 * uvs[2 * i1] +
+                               b2 * uvs[2 * i2]) * uv_scale;
+                    float v = (b0 * uvs[2 * i0 + 1] + b1 * uvs[2 * i1 + 1] +
+                               b2 * uvs[2 * i2 + 1]) * uv_scale;
+                    u -= std::floor(u);
+                    v -= std::floor(v);
+                    // Bilinear tap with wrap addressing; v flipped (image
+                    // row 0 = top, UV v = 0 = bottom, GL convention).
+                    float tu = u * tex_w - 0.5f;
+                    float tv = (1.0f - v) * tex_h - 0.5f;
+                    int u0i = (int)std::floor(tu), v0i = (int)std::floor(tv);
+                    float wu = tu - u0i, wv = tv - v0i;
+                    auto wrap = [](int i, int n) {
+                        i %= n;
+                        return i < 0 ? i + n : i;
+                    };
+                    int u1i = wrap(u0i + 1, tex_w), v1i = wrap(v0i + 1, tex_h);
+                    u0i = wrap(u0i, tex_w);
+                    v0i = wrap(v0i, tex_h);
+                    for (int c = 0; c < 3; ++c) {
+                        float t00 = texture[3 * (v0i * tex_w + u0i) + c];
+                        float t01 = texture[3 * (v0i * tex_w + u1i) + c];
+                        float t10 = texture[3 * (v1i * tex_w + u0i) + c];
+                        float t11 = texture[3 * (v1i * tex_w + u1i) + c];
+                        albedo[c] = (1 - wv) * ((1 - wu) * t00 + wu * t01) +
+                                    wv * ((1 - wu) * t10 + wu * t11);
+                    }
+                    if (vertex_colors) {
+                        for (int c = 0; c < 3; ++c)
+                            albedo[c] *= b0 * vertex_colors[3 * i0 + c] +
+                                         b1 * vertex_colors[3 * i1 + c] +
+                                         b2 * vertex_colors[3 * i2 + c];
+                    }
+                } else if (vertex_colors) {
                     for (int c = 0; c < 3; ++c)
                         albedo[c] = b0 * vertex_colors[3 * i0 + c] +
                                     b1 * vertex_colors[3 * i1 + c] +
@@ -159,6 +221,8 @@ void rasterize(const float* vertices, int n_vertices,
                 }
 
                 float shade_rgb[3] = {ambient, ambient, ambient};
+                float spec_rgb[3] = {0.f, 0.f, 0.f};
+                Vec3 vdir = normalize(sub(cam_center, p));
                 for (int l = 0; l < n_lights; ++l) {
                     Vec3 lp = {light_pos[3 * l], light_pos[3 * l + 1], light_pos[3 * l + 2]};
                     Vec3 ldir = sub(lp, p);
@@ -168,9 +232,20 @@ void rasterize(const float* vertices, int n_vertices,
                     float atten = light_intensity[l] / d2;
                     for (int c = 0; c < 3; ++c)
                         shade_rgb[c] += lambert * atten * light_color[3 * l + c];
+                    if (specular > 0.0f) {
+                        // Blinn-Phong half-vector lobe; two-sided normal to
+                        // match the diffuse term.
+                        Vec3 h = normalize({ldir.x + vdir.x, ldir.y + vdir.y,
+                                            ldir.z + vdir.z});
+                        float nh = std::fabs(dot(n, h));
+                        float lobe = std::pow(nh, shininess);
+                        for (int c = 0; c < 3; ++c)
+                            spec_rgb[c] += specular * lobe * atten *
+                                           light_color[3 * l + c];
+                    }
                 }
                 for (int c = 0; c < 3; ++c)
-                    col[c] = std::min(1.0f, albedo[c] * shade_rgb[c]);
+                    col[c] = std::min(1.0f, albedo[c] * shade_rgb[c] + spec_rgb[c]);
             }
         }
     }

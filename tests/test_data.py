@@ -50,6 +50,40 @@ class TestMeshUtils:
         np.testing.assert_allclose(obj.bounding_diameter, 1.0, rtol=1e-5)
         np.testing.assert_allclose(scale, 1.0 / (0.5 * math.sqrt(3)), rtol=1e-5)
 
+    def test_load_obj_with_uvs(self, tmp_path):
+        """vt/corner parsing: vertices split per (v, vt) pair."""
+        path = tmp_path / "quad.obj"
+        path.write_text(
+            "v -1 -1 0\nv 1 -1 0\nv 1 1 0\nv -1 1 0\n"
+            "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+            "f 1/1 2/2 3/3\nf 1/1 3/3 4/4\n")
+        obj = meshutils.Object3D(path)
+        mesh = obj.meshes[0]
+        assert mesh.uvs is not None
+        assert mesh.uvs.shape == (len(mesh.vertices), 2)
+        assert mesh.vertices.shape == (4, 3)
+        np.testing.assert_allclose(mesh.uvs[2], (1.0, 1.0))
+
+    def test_renderer_applies_uv_texture(self, tmp_path):
+        """SceneContext/Renderer pass the mesh's attached texture through."""
+        path = tmp_path / "quad.obj"
+        path.write_text(
+            "v -0.5 -0.5 0\nv 0.5 -0.5 0\nv 0.5 0.5 0\nv -0.5 0.5 0\n"
+            "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+            "f 1/1 2/2 3/3\nf 1/1 3/3 4/4\n")
+        obj = meshutils.Object3D(path)
+        obj.meshes[0].texture = np.tile(
+            np.asarray([1.0, 0.0, 0.0], np.float32), (4, 4, 1))
+        ctx = rendering.SceneContext(obj, INTRINSIC)
+        ctx.set_pose_from_extrinsic(
+            np.diag([1.0, 1.0, 1.0, 1.0]).astype(np.float32))
+        ctx.extrinsic[2, 3] = 2.0
+        color, depth, mask = rendering.Renderer(320, 240).render(ctx)
+        lit = np.asarray(color)[np.asarray(mask) > 0]
+        # Ambient-only shading: red texel * ambient 0.1, green/blue zero.
+        np.testing.assert_allclose(lit[:, 0], 0.1, atol=1e-3)
+        assert lit[:, 1].max() < 1e-3 and lit[:, 2].max() < 1e-3
+
     def test_ply_roundtrip_ascii(self, tmp_path):
         path = tmp_path / "tri.ply"
         path.write_text(
@@ -105,7 +139,8 @@ class TestRasterizer:
         d1 = np.zeros((60, 80), np.float32)
         rasterizer._rasterize_numpy(
             mesh.vertices, mesh.faces, extrinsic, INTRINSIC[:3, :3], 80, 60,
-            None, mesh.vertex_normals, None, None, None, 0.1, False, c1, d1)
+            None, mesh.vertex_normals, None, None, 1.0, None, None, None,
+            0.1, 0.0, 32.0, False, c1, d1)
         c2, d2, _ = rasterizer.rasterize(
             mesh.vertices, mesh.faces, extrinsic, INTRINSIC, 80, 60,
             vertex_normals=mesh.vertex_normals, shade=False)
@@ -115,6 +150,68 @@ class TestRasterizer:
         agree = ((d1 > 0) == (d2 > 0)).mean()
         assert agree > 0.99
         np.testing.assert_allclose(d1[both], d2[both], atol=1e-3)
+
+    def _uv_quad(self):
+        """A camera-facing textured quad at z = 2."""
+        verts = np.asarray([[-0.5, -0.5, 2.0], [0.5, -0.5, 2.0],
+                            [0.5, 0.5, 2.0], [-0.5, 0.5, 2.0]], np.float32)
+        faces = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+        uvs = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        # Left half red, right half green.
+        tex = np.zeros((8, 8, 3), np.float32)
+        tex[:, :4, 0] = 1.0
+        tex[:, 4:, 1] = 1.0
+        return verts, faces, uvs, tex
+
+    def test_uv_texture_native(self, tmp_path):
+        if rasterizer._load_library() is None:
+            pytest.skip("no native toolchain")
+        verts, faces, uvs, tex = self._uv_quad()
+        color, depth, mask = rasterizer.rasterize(
+            verts, faces, np.eye(4, dtype=np.float32), INTRINSIC, 320, 240,
+            uvs=uvs, texture=tex, shade=False)
+        assert mask.sum() > 100
+        # u < 0.5 (left in UV space) samples the red half.
+        left = color[120, 100]
+        right = color[120, 220]
+        assert left[0] > 0.9 and left[1] < 0.1, left
+        assert right[1] > 0.9 and right[0] < 0.1, right
+
+    def test_uv_texture_native_matches_numpy(self):
+        verts, faces, uvs, tex = self._uv_quad()
+        if rasterizer._load_library() is None:
+            pytest.skip("no native toolchain")
+        intr = np.asarray([[75.0, 0, 40.0], [0, 75.0, 30.0], [0, 0, 1.0]],
+                          np.float32)
+        c1 = np.zeros((60, 80, 3), np.float32)
+        d1 = np.zeros((60, 80), np.float32)
+        rasterizer._rasterize_numpy(
+            verts, faces, np.eye(4, dtype=np.float32), intr,
+            80, 60, None, None, uvs, tex, 2.0, None, None, None,
+            0.1, 0.0, 32.0, False, c1, d1)
+        c2, d2, _ = rasterizer.rasterize(
+            verts, faces, np.eye(4, dtype=np.float32), intr, 80, 60,
+            uvs=uvs, texture=tex, uv_scale=2.0, shade=False)
+        both = (d1 > 0) & (d2 > 0)
+        # Texel-boundary pixels may take different bilinear taps; almost all
+        # pixels must agree exactly.
+        agree = np.isclose(c1[both], c2[both], atol=1e-3).mean()
+        assert agree > 0.97, agree
+
+    def test_specular_highlight(self, tmp_path):
+        """A Blinn-Phong lobe brightens the lit render vs pure Lambertian."""
+        light = dict(
+            light_pos=np.asarray([[0.0, 0.0, -2.0]], dtype=np.float32),
+            light_color=np.ones((1, 3), dtype=np.float32),
+            light_intensity=np.asarray([5.0], dtype=np.float32))
+        base, _, mask = self._render_cube(tmp_path, shade=True, **light)
+        spec, _, _ = self._render_cube(tmp_path, shade=True, specular=0.8,
+                                       shininess=8.0, **light)
+        m = mask > 0
+        assert spec[m].sum() > base[m].sum()
+        assert np.isfinite(spec).all()
+        # Specular contribution is additive-only.
+        assert (spec[m] >= base[m] - 1e-5).all()
 
 
 class TestSyntheticDataset:
