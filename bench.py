@@ -47,6 +47,15 @@ def main():
                              "training mask-noise chain (MOPED real-capture "
                              "conditions, BASELINE config #4)")
     parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--batch", type=int, default=1,
+                        help="train mode: total batch size (published "
+                             "recipe: 8)")
+    parser.add_argument("--batch-groups", type=int, default=1,
+                        help="train mode: gradient-accumulation groups "
+                             "(published recipe: 2)")
+    parser.add_argument("--remat", action="store_true",
+                        help="train mode: rematerialize encode/decode "
+                             "(needed for the published batch at 256^2)")
     parser.add_argument("--volume-backend", default=None,
                         choices=["auto", "gather", "matmul", "pallas"],
                         help="3D warp backend A/B (transforms."
@@ -358,7 +367,7 @@ def bench_train_step(args, input_size, camera_dist):
                                              make_recon_train_step)
 
     v_in, v_out = (8, 24) if not args.tiny else (2, 2)
-    b = 1
+    b = args.batch
     sculptor = (zoo.flagship_sculptor(input_size) if not args.tiny
                 else zoo.tiny_sculptor())
     photographer = (zoo.flagship_photographer(input_size) if not args.tiny
@@ -375,9 +384,11 @@ def bench_train_step(args, input_size, camera_dist):
               "g_depth_recon_loss_type": "hard_smooth_l1",
               "g_depth_recon_loss_k": 16384,
               "g_depth_recon_loss_weight": 25.0,
-              "g_mask_recon_loss_weight": 25.0}
+              "g_mask_recon_loss_weight": 25.0,
+              "remat": args.remat}
     step = make_recon_train_step(sculptor, fuser, photographer, optimizer,
-                                 config=config)
+                                 config=config,
+                                 num_microbatches=args.batch_groups)
 
     print("# synthetic batch...", file=sys.stderr)
     rng = np.random.RandomState(0)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..dtypes import get_compute_dtype
 from .grid_sample import _unnormalize
 
 
@@ -78,12 +79,20 @@ def _tap_block(coords_ref, j0, block_j, dhw, deriv_axis):
     return fz * fy * fx  # (BK, BJ)
 
 
-def _kernel_fwd(coords_ref, vol_ref, out_ref, *, dhw, block_j, deriv_axis):
-    """out[c, k] (+)= vol[c, j_block] @ tap[k, j_block]^T."""
+def _kernel_fwd(coords_ref, vol_ref, out_ref, *, dhw, block_j, deriv_axis,
+                compute_dtype):
+    """out[c, k] (+)= vol[c, j_block] @ tap[k, j_block]^T.
+
+    Taps are built fp32 on the VPU, then the contraction runs in
+    ``compute_dtype`` on the MXU with fp32 accumulation (bf16 under the
+    production policy — fp32 MXU throughput is ~4x lower; tap values
+    0/w1/1-w1 round-trip bf16 with <=2^-9 relative error, matching the
+    bf16 policy of the surrounding conv stacks).
+    """
     j_step = pl.program_id(2)
     tap = _tap_block(coords_ref, j_step * block_j, block_j, dhw, deriv_axis)
     partial = jax.lax.dot_general(
-        vol_ref[0], tap,
+        vol_ref[0], tap.astype(compute_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (C, BK)
 
@@ -96,13 +105,14 @@ def _kernel_fwd(coords_ref, vol_ref, out_ref, *, dhw, block_j, deriv_axis):
         out_ref[0] = out_ref[0] + partial
 
 
-def _kernel_dvol(coords_ref, g_ref, out_ref, *, dhw, block_j):
+def _kernel_dvol(coords_ref, g_ref, out_ref, *, dhw, block_j,
+                 compute_dtype):
     """d_vol[c, j] (+)= g[c, k_block] @ tap[k_block, j]."""
     k_step = pl.program_id(2)
     j_step = pl.program_id(1)
     tap = _tap_block(coords_ref, j_step * block_j, block_j, dhw, None)
     partial = jax.lax.dot_general(
-        g_ref[0], tap,
+        g_ref[0], tap.astype(compute_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (C, BJ)
 
@@ -152,6 +162,7 @@ def _prep_coords(grid, dims, padding_mode, block_k):
 
 def _forward(input, grid, padding_mode, deriv_axis=None,
              block_k=256, block_j=2048):
+    compute_dtype = get_compute_dtype()
     n, c, d, h, w = input.shape
     out_spatial = grid.shape[1:4]
     coords, k, kp = _prep_coords(grid, (d, h, w), padding_mode, block_k)
@@ -159,12 +170,13 @@ def _forward(input, grid, padding_mode, deriv_axis=None,
     j = d * h * w
     block_j = min(block_j, _round_up(j, 128))
     jp = _round_up(j, block_j)
-    vol = jnp.pad(input.reshape(n, c, j).astype(jnp.float32),
+    vol = jnp.pad(input.reshape(n, c, j).astype(compute_dtype),
                   ((0, 0), (0, 0), (0, jp - j)))
 
     out = pl.pallas_call(
         functools.partial(_kernel_fwd, dhw=(d, h, w), block_j=block_j,
-                          deriv_axis=deriv_axis),
+                          deriv_axis=deriv_axis,
+                          compute_dtype=compute_dtype),
         grid=(n, kp // block_k, jp // block_j),
         in_specs=[
             pl.BlockSpec((1, 8, block_k), lambda ni, ki, ji: (ni, 0, ki),
@@ -190,10 +202,13 @@ def _dvol(g_flat, grid, dims, padding_mode, block_k=256, block_j=2048):
     j = d * h * w
     block_j = min(block_j, _round_up(j, 128))
     jp = _round_up(j, block_j)
-    g_pad = jnp.pad(g_flat.astype(jnp.float32), ((0, 0), (0, 0), (0, kp - k)))
+    compute_dtype = get_compute_dtype()
+    g_pad = jnp.pad(g_flat.astype(compute_dtype),
+                    ((0, 0), (0, 0), (0, kp - k)))
 
     out = pl.pallas_call(
-        functools.partial(_kernel_dvol, dhw=(d, h, w), block_j=block_j),
+        functools.partial(_kernel_dvol, dhw=(d, h, w), block_j=block_j,
+                          compute_dtype=compute_dtype),
         grid=(n, jp // block_j, kp // block_k),
         in_specs=[
             pl.BlockSpec((1, 8, block_k), lambda ni, ji, ki: (ni, 0, ki),

@@ -166,7 +166,8 @@ class GanTrainState(NamedTuple):
 
 def make_recon_train_step(sculptor, fuser, photographer, g_optimizer,
                           discriminator=None, d_optimizer=None,
-                          config: Optional[Dict] = None):
+                          config: Optional[Dict] = None,
+                          num_microbatches: int = 1):
     """Full training iteration:
 
     process_batch -> optional input masking/noise -> encode -> decode on
@@ -176,7 +177,16 @@ def make_recon_train_step(sculptor, fuser, photographer, g_optimizer,
     Returns ``step(state, raw_batch, key, input_noise_weight) ->
     (state, scalars)``; ``depth_k`` is baked via config (annealed between
     compilations, reference: train_reconstruct.py:424-425).
+
+    ``num_microbatches`` > 1 is the reference's ``--batch-groups`` gradient
+    accumulation (trainutils.py:32-35, 366-371) as a ``lax.scan`` over
+    leading-axis batch slices inside ONE jitted step (generator path only —
+    the published train.sh recipe runs without a discriminator).
     """
+    if num_microbatches > 1 and discriminator is not None:
+        raise NotImplementedError(
+            "gradient accumulation is implemented for the no-discriminator "
+            "recipe (the published train.sh configuration)")
     from ..camera import Camera
     from ..recon.utils import process_batch
     from ..three.batchview import bv2b
@@ -348,8 +358,40 @@ def make_recon_train_step(sculptor, fuser, photographer, g_optimizer,
         if discriminator is not None else None
 
     def step(state: GanTrainState, batch, key, input_noise_weight=0.0):
-        (g_loss, (loss_dict, d_pack)), grads = g_grad(
-            state.params, batch, key, input_noise_weight, state.d_params)
+        if num_microbatches > 1:
+            mb_batch = jax.tree_util.tree_map(
+                lambda x: x.reshape(num_microbatches,
+                                    x.shape[0] // num_microbatches,
+                                    *x.shape[1:]), batch)
+            keys = jax.random.split(key, num_microbatches)
+
+            def accumulate(carry, xs):
+                acc_grads, acc_loss, acc_dict = carry
+                mb, k = xs
+                (loss, (ld, _)), grads = g_grad(
+                    state.params, mb, k, input_noise_weight, state.d_params)
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                acc_dict = {kk: acc_dict[kk] + v for kk, v in ld.items()}
+                return (acc_grads, acc_loss + loss, acc_dict), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            probe_mb = jax.tree_util.tree_map(lambda x: x[0], mb_batch)
+            _, (probe_dict, _) = forward_and_g_loss(
+                state.params, probe_mb, keys[0], input_noise_weight,
+                state.d_params)
+            zero_dict = {kk: jnp.zeros(()) for kk in probe_dict}
+            (grads, g_loss, loss_dict), _ = jax.lax.scan(
+                accumulate, (zero_grads, jnp.zeros(()), zero_dict),
+                (mb_batch, keys))
+            grads = jax.tree_util.tree_map(
+                lambda g: g / num_microbatches, grads)
+            g_loss = g_loss / num_microbatches
+            loss_dict = {kk: v / num_microbatches
+                         for kk, v in loss_dict.items()}
+            d_pack = None
+        else:
+            (g_loss, (loss_dict, d_pack)), grads = g_grad(
+                state.params, batch, key, input_noise_weight, state.d_params)
         updates, opt_state = g_optimizer.update(grads, state.opt_state,
                                                 state.params)
         params = optax.apply_updates(state.params, updates)

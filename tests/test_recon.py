@@ -240,3 +240,25 @@ class TestCheckpointConversion:
         out1 = sc.apply(params, x, cam)[0]
         out2 = sc2.apply(params2, x, cam)[0]
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_recurrent_fuser_scan_matches_unroll(rng):
+    """nn.scan view fold (the default) is numerically identical to the
+    reference-shaped unrolled chain (docs/ARCHITECTURE.md A/B)."""
+    import jax
+    import jax.numpy as jnp
+
+    from latentfusion_tpu.recon import fusion
+    from latentfusion_tpu.testing import make_camera
+
+    key = jax.random.PRNGKey(0)
+    z = jnp.asarray(rng.randn(1, 5, 8, 6, 6, 6).astype("float32"))
+    cam = make_camera(5, key=key)
+
+    for scan_cls, kwargs in ((fusion.GRUFuser, {}), (fusion.LSTMFuser, {})):
+        scan_mod = scan_cls(in_channels=8, scan_views=True, **kwargs)
+        unroll_mod = scan_cls(in_channels=8, scan_views=False, **kwargs)
+        params = scan_mod.init(key, z, [], [], cam)
+        a = scan_mod.apply(params, z, [], [], cam)[0]
+        b = unroll_mod.apply(params, z, [], [], cam)[0]
+        assert float(jnp.abs(a - b).max()) < 1e-5

@@ -68,6 +68,30 @@ def test_recon_train_step_no_gan(tiny_stack, rng):
     assert losses[-1] < losses[0]
 
 
+def test_recon_train_step_gradient_accumulation(tiny_stack, rng):
+    """num_microbatches (the reference's --batch-groups) matches the
+    full-batch step when per-microbatch randomness is disabled."""
+    sculptor, fuser, photographer, params = tiny_stack
+    opt = make_optimizer("adam", 1e-3)
+    config = {"camera_dist": 1.5, "random_orientation": False}
+    batch = make_raw_batch(rng, b=4)
+    key = jax.random.PRNGKey(0)
+
+    full = make_recon_train_step(sculptor, fuser, photographer, opt,
+                                 config=config)
+    accum = make_recon_train_step(sculptor, fuser, photographer, opt,
+                                  config=config, num_microbatches=2)
+    s_full, sc_full = full(init_gan_train_state(params, opt), batch, key)
+    s_accum, sc_accum = accum(init_gan_train_state(params, opt), batch, key)
+
+    np.testing.assert_allclose(float(sc_accum["loss/generator/total"]),
+                               float(sc_full["loss/generator/total"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_accum.params),
+                    jax.tree_util.tree_leaves(s_full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_recon_train_step_with_gan(tiny_stack, rng):
     from latentfusion_tpu.pggan import MultiScaleDiscriminator
 
