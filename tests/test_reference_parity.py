@@ -298,3 +298,97 @@ class TestPoseLossParity:
                 np.asarray(j_losses[k]), t_losses[k].numpy(),
                 atol=2e-3, rtol=2e-3,
                 err_msg=f"pose loss {k!r} diverges from reference")
+
+
+class TestDiscriminatorParity:
+    def test_multiscale_discriminator(self):
+        """PatchGAN stack incl. minibatch-stddev concat, InstanceNorm, and
+        the 3-scale pyramid, with converted reference weights."""
+        from latentfusion import pggan as tpggan
+
+        from latentfusion_tpu.pggan import MultiScaleDiscriminator
+
+        rng = np.random.RandomState(11)
+        torch.manual_seed(11)
+        t_d = tpggan.MultiScaleDiscriminator(
+            in_channels=2, block_config=[8, 16, 16]).eval()
+        j_d = MultiScaleDiscriminator(in_channels=2,
+                                      block_config=(8, 16, 16))
+        j_params = ckpt.convert_torch_state_dict(t_d.state_dict())
+
+        x = rng.randn(4, 2, 64, 64).astype(np.float32)
+        mask = (rng.rand(4, 1, 64, 64) > 0.3).astype(np.float32)
+        with torch.no_grad():
+            t_out = t_d(torch.from_numpy(x), torch.from_numpy(mask))
+        j_out = j_d.apply(j_params, jnp.asarray(x), jnp.asarray(mask))
+        assert len(j_out) == len(t_out) == 3
+        for scale, (a, b) in enumerate(zip(j_out, t_out)):
+            np.testing.assert_allclose(
+                np.asarray(a), b.numpy(), atol=2e-3, rtol=1e-3,
+                err_msg=f"discriminator scale {scale} diverges")
+
+
+class TestLossParity:
+    def test_hard_pixel_loss(self):
+        from latentfusion import losses as tlosses
+
+        from latentfusion_tpu import losses as jlosses
+
+        rng = np.random.RandomState(12)
+        x = rng.randn(2, 3, 16, 16).astype(np.float32)
+        y = rng.randn(2, 3, 16, 16).astype(np.float32)
+        for reduction in ("mean", "sum"):
+            t_loss = tlosses.HardPixelLoss(torch.nn.L1Loss, k=40,
+                                           reduction=reduction)
+            with torch.no_grad():
+                t_val = t_loss(torch.from_numpy(x), torch.from_numpy(y))
+            j_val = jlosses.hard_pixel_loss(jlosses.l1_loss, jnp.asarray(x),
+                                            jnp.asarray(y), k=40,
+                                            reduction=reduction)
+            np.testing.assert_allclose(float(j_val), float(t_val), rtol=1e-5,
+                                       err_msg=f"reduction={reduction}")
+
+    def test_beta_prior_and_lsgan(self):
+        from latentfusion import losses as tlosses
+
+        from latentfusion_tpu import losses as jlosses
+
+        rng = np.random.RandomState(13)
+        m = rng.rand(2, 1, 8, 8).astype(np.float32)
+        with torch.no_grad():
+            t_beta = tlosses.beta_prior_loss(torch.from_numpy(m), 0.01, 0.01)
+        j_beta = jlosses.beta_prior_loss(jnp.asarray(m), 0.01, 0.01)
+        np.testing.assert_allclose(float(j_beta), float(t_beta), rtol=1e-4)
+
+        d = rng.randn(2, 1, 6, 6).astype(np.float32)
+        with torch.no_grad():
+            t_ls = tlosses.lsgan_loss(torch.from_numpy(d), 1)
+        j_ls = jlosses.lsgan_loss(jnp.asarray(d), 1)
+        np.testing.assert_allclose(float(j_ls), float(t_ls), rtol=1e-5)
+
+
+class TestIbrParity:
+    def test_reproject_views(self):
+        from latentfusion import ibr as tibr
+
+        from latentfusion_tpu import ibr as jibr
+
+        rng = np.random.RandomState(14)
+        t_cin, j_cin = _camera_pair(rng, 2)
+        t_cout, j_cout = _camera_pair(rng, 3)
+
+        image_in = rng.rand(2, 3, 24, 32).astype(np.float32)
+        depth_in = rng.uniform(1.2, 1.8, (2, 1, 24, 32)).astype(np.float32)
+        depth_out = rng.uniform(1.2, 1.8, (3, 1, 24, 32)).astype(np.float32)
+
+        with torch.no_grad():
+            t_img, t_dep = tibr.reproject_views(
+                torch.from_numpy(image_in), torch.from_numpy(depth_in),
+                torch.from_numpy(depth_out), t_cin, t_cout)
+        j_img, j_dep = jibr.reproject_views(
+            jnp.asarray(image_in), jnp.asarray(depth_in),
+            jnp.asarray(depth_out), j_cin, j_cout)
+        np.testing.assert_allclose(np.asarray(j_img), t_img.numpy(),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(j_dep), t_dep.numpy(),
+                                   atol=2e-4)
