@@ -392,3 +392,85 @@ class TestIbrParity:
                                    atol=2e-4)
         np.testing.assert_allclose(np.asarray(j_dep), t_dep.numpy(),
                                    atol=2e-4)
+
+
+class TestExportedCheckpointLoadsInReference:
+    def test_reference_load_models_runs_our_checkpoint(self):
+        """INVERSE interop: a checkpoint exported by this framework (the
+        reference .pth schema via export_torch_state_dict) loads through the
+        reference's own load_models and reproduces our outputs — proving
+        natively-trained models can be consumed by the original framework."""
+        from latentfusion_tpu import zoo
+        from latentfusion_tpu.recon import fusion as jfusion2
+
+        rng = np.random.RandomState(21)
+        j_sculptor = zoo.tiny_sculptor()
+        j_fuser = jfusion2.GRUFuser(in_channels=4, cube_size=1.0)
+        j_photographer = _tiny_jax_photographer()
+        params = zoo.init_recon_params(jax.random.PRNGKey(21), j_sculptor,
+                                       j_fuser, j_photographer,
+                                       batch=1, views=2)
+        # tiny_photographer in the zoo has object_config=None; rebuild
+        # params for the object_config=(4,4) variant used here.
+        B = 1
+        cam0 = zoo.canonical_camera(B, 16)
+        z0 = jnp.zeros((B, 4, 8, 8, 8))
+        params["photographer"] = j_photographer.init(jax.random.PRNGKey(22),
+                                                     z0, cam0)
+
+        def to_sd(tree):
+            return {k: torch.from_numpy(np.asarray(v).copy()) for k, v in
+                    ckpt.export_torch_state_dict(tree).items()}
+
+        checkpoint = {
+            "name": "roundtrip", "epoch": 0,
+            "args": {"camera_dist": 1.5, "no_discriminator": True},
+            "modules": {
+                "sculptor": {"args": j_sculptor.checkpoint_args(),
+                             "state_dict": to_sd(params["sculptor"])},
+                "photographer": {
+                    "args": j_photographer.checkpoint_args(),
+                    "state_dict": to_sd(params["photographer"])},
+                "fuser": {"type": "GRUFuser",
+                          "args": {"in_channels": 4, "cube_size": 1.0},
+                          "state_dict": to_sd(params["fuser"])},
+            },
+        }
+
+        t_sculptor, t_fuser, t_photographer, t_disc = tmodels.load_models(
+            checkpoint)
+        assert t_disc is None
+        t_sculptor = t_sculptor.eval()
+        t_fuser = t_fuser.eval()
+        t_photographer = t_photographer.eval()
+
+        # Encode parity on shared inputs.
+        B, V = 1, 2
+        color = rng.randn(B, V, 3, 16, 16).astype(np.float32)
+        mask = (rng.rand(B, V, 1, 16, 16) > 0.3).astype(np.float32)
+        tcam, jcam = _camera_pair(rng, B * V)
+        t_zoom = tcam.zoom(None, target_size=16, target_dist=1.5)
+        j_zoom = jcam.zoom(None, 16, 1.5)
+        with torch.no_grad():
+            t_z, _ = t_sculptor.encode(t_fuser, t_zoom,
+                                       torch.from_numpy(color),
+                                       mask=torch.from_numpy(mask))
+        j_z, _ = jmodels.encode(j_sculptor, params["sculptor"], j_fuser,
+                                params["fuser"], j_zoom, jnp.asarray(color),
+                                mask=jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(j_z), t_z.numpy(),
+                                   atol=5e-4, rtol=1e-3)
+
+        # Decode parity through the loaded photographer.
+        z_obj = rng.randn(1, 1, 4, 8, 8, 8).astype(np.float32)
+        tc2, jc2 = _camera_pair(rng, 3)
+        t_zoom2 = tc2.zoom(None, target_size=16, target_dist=1.5)
+        j_zoom2 = jc2.zoom(None, 16, 1.5)
+        with torch.no_grad():
+            t_y, _, _ = t_photographer.decode(torch.from_numpy(z_obj),
+                                              t_zoom2)
+        j_y, _, _ = jmodels.decode(j_photographer, params["photographer"],
+                                   jnp.asarray(z_obj), j_zoom2)
+        for k in ("depth", "mask"):
+            np.testing.assert_allclose(np.asarray(j_y[k]), t_y[k].numpy(),
+                                       atol=5e-4, rtol=1e-3)
