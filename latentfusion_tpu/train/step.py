@@ -180,13 +180,11 @@ def make_recon_train_step(sculptor, fuser, photographer, g_optimizer,
 
     ``num_microbatches`` > 1 is the reference's ``--batch-groups`` gradient
     accumulation (trainutils.py:32-35, 366-371) as a ``lax.scan`` over
-    leading-axis batch slices inside ONE jitted step (generator path only —
-    the published train.sh recipe runs without a discriminator).
+    leading-axis batch slices inside ONE jitted step. With a discriminator,
+    both G and D gradients accumulate over the microbatches before their
+    single optimizer updates (the reference steps every ``groups``
+    iterations, train_reconstruct.py:515-534 — same averaged gradients).
     """
-    if num_microbatches > 1 and discriminator is not None:
-        raise NotImplementedError(
-            "gradient accumulation is implemented for the no-discriminator "
-            "recipe (the published train.sh configuration)")
     from ..camera import Camera
     from ..recon.utils import process_batch
     from ..three.batchview import bv2b
@@ -366,13 +364,20 @@ def make_recon_train_step(sculptor, fuser, photographer, g_optimizer,
             keys = jax.random.split(key, num_microbatches)
 
             def accumulate(carry, xs):
-                acc_grads, acc_loss, acc_dict = carry
+                acc_grads, acc_loss, acc_dict, acc_d = carry
                 mb, k = xs
-                (loss, (ld, _)), grads = g_grad(
+                (loss, (ld, d_pack)), grads = g_grad(
                     state.params, mb, k, input_noise_weight, state.d_params)
                 acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
                 acc_dict = {kk: acc_dict[kk] + v for kk, v in ld.items()}
-                return (acc_grads, acc_loss + loss, acc_dict), None
+                if discriminator is not None:
+                    (d_loss, (ld_real, ld_fake)), dg = d_grad(state.d_params,
+                                                              d_pack)
+                    acc_d = (
+                        jax.tree_util.tree_map(jnp.add, acc_d[0], dg),
+                        acc_d[1] + d_loss, acc_d[2] + ld_real,
+                        acc_d[3] + ld_fake)
+                return (acc_grads, acc_loss + loss, acc_dict, acc_d), None
 
             zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
             probe_mb = jax.tree_util.tree_map(lambda x: x[0], mb_batch)
@@ -380,14 +385,19 @@ def make_recon_train_step(sculptor, fuser, photographer, g_optimizer,
                 state.params, probe_mb, keys[0], input_noise_weight,
                 state.d_params)
             zero_dict = {kk: jnp.zeros(()) for kk in probe_dict}
-            (grads, g_loss, loss_dict), _ = jax.lax.scan(
-                accumulate, (zero_grads, jnp.zeros(()), zero_dict),
+            zero_d = (jax.tree_util.tree_map(jnp.zeros_like, state.d_params),
+                      jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+            (grads, g_loss, loss_dict, acc_d), _ = jax.lax.scan(
+                accumulate, (zero_grads, jnp.zeros(()), zero_dict, zero_d),
                 (mb_batch, keys))
             grads = jax.tree_util.tree_map(
                 lambda g: g / num_microbatches, grads)
             g_loss = g_loss / num_microbatches
             loss_dict = {kk: v / num_microbatches
                          for kk, v in loss_dict.items()}
+            d_grads = jax.tree_util.tree_map(
+                lambda g: g / num_microbatches, acc_d[0])
+            d_scalars = tuple(v / num_microbatches for v in acc_d[1:])
             d_pack = None
         else:
             (g_loss, (loss_dict, d_pack)), grads = g_grad(
@@ -400,7 +410,12 @@ def make_recon_train_step(sculptor, fuser, photographer, g_optimizer,
         scalars = {f"loss/generator/{k}": v for k, v in loss_dict.items()}
         scalars["loss/generator/total"] = g_loss
         if discriminator is not None:
-            (d_loss, (ld_real, ld_fake)), dg = d_grad(state.d_params, d_pack)
+            if num_microbatches > 1:
+                dg = d_grads
+                d_loss, ld_real, ld_fake = d_scalars
+            else:
+                (d_loss, (ld_real, ld_fake)), dg = d_grad(state.d_params,
+                                                          d_pack)
             d_updates, d_opt_state = d_optimizer.update(dg, state.d_opt_state,
                                                         state.d_params)
             d_params = optax.apply_updates(state.d_params, d_updates)

@@ -114,6 +114,35 @@ def test_recon_train_step_with_gan(tiny_stack, rng):
     assert not np.allclose(np.asarray(d_before), np.asarray(d_after))
 
 
+def test_recon_train_step_gan_accumulation(tiny_stack, rng):
+    """Gradient accumulation composes with the discriminator: both G and D
+    grads average over microbatches before single optimizer updates."""
+    from latentfusion_tpu.pggan import MultiScaleDiscriminator
+
+    sculptor, fuser, photographer, params = tiny_stack
+    disc = MultiScaleDiscriminator(1, (8, 16), num_scales=2)
+    d_params = disc.init(jax.random.PRNGKey(1), jnp.zeros((4, 1, 16, 16)))
+    g_opt = make_optimizer("adam", 1e-3)
+    d_opt = make_optimizer("adam", 1e-3)
+    state = init_gan_train_state(params, g_opt, d_params, d_opt)
+    step = make_recon_train_step(
+        sculptor, fuser, photographer, g_opt, disc, d_opt,
+        config={"camera_dist": 1.5, "discriminator_input_depth": True},
+        num_microbatches=2)
+    batch = make_raw_batch(rng, b=4)
+    state2, scalars = step(state, batch, jax.random.PRNGKey(0),
+                           input_noise_weight=0.5)
+    for k in ("loss/discriminator/total", "loss/generator/gan",
+              "loss/generator/total"):
+        assert np.isfinite(float(scalars[k])), k
+    d_before = jax.tree_util.tree_leaves(state.d_params)[0]
+    d_after = jax.tree_util.tree_leaves(state2.d_params)[0]
+    assert not np.allclose(np.asarray(d_before), np.asarray(d_after))
+    g_before = jax.tree_util.tree_leaves(state.params)[0]
+    g_after = jax.tree_util.tree_leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(g_before), np.asarray(g_after))
+
+
 def test_train_cli_smoke(tmp_path, rng):
     """Two iterations of the full CLI on a cube mesh (CPU)."""
     from test_data import make_cube_obj
