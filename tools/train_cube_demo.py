@@ -33,9 +33,10 @@ SCULPTOR_IMAGE_CONFIG = (
 SCULPTOR_CAMERA_CONFIG = (32, 64, 128)
 SCULPTOR_OBJECT_CONFIG = (128, 128)
 PHOTOGRAPHER_CAMERA_CONFIG = (128, 128)
+# 2 downs + 6 ups: renders (in_size=8) x 2^(6-2) = 128^2.
 PHOTOGRAPHER_IMAGE_CONFIG = (
     (128, "D", 256, "D", 256),
-    (256, "U", 256, "U", 256, "U", 128, "U", 96, "U", 64),
+    (256, "U", 256, "U", 256, "U", 128, "U", 96, "U", 64, "U", 48),
 )
 
 
@@ -84,6 +85,9 @@ def main():
     parser.add_argument("--views-in", type=int, default=4)
     parser.add_argument("--views-out", type=int, default=8)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--lr-cosine", action="store_true",
+                        help="cosine-decay the learning rate to lr/100 over "
+                             "--steps")
     parser.add_argument("--out", type=Path, default=Path("artifacts/cube_demo"))
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--eval-targets", type=int, default=4)
@@ -140,7 +144,14 @@ def main():
         n_params = sum(np.prod(p.shape) for p in
                        jax.tree_util.tree_leaves(params))
         print(f"# {n_params / 1e6:.1f}M params", file=sys.stderr)
-        opt = make_optimizer("adam", args.lr)
+        if args.lr_cosine:
+            import optax
+
+            schedule = optax.cosine_decay_schedule(
+                args.lr, args.steps, alpha=0.01)
+            opt = optax.adam(schedule, b1=0.0, b2=0.99)
+        else:
+            opt = make_optimizer("adam", args.lr)
         state = init_gan_train_state(params, opt)
         step = make_recon_train_step(
             sculptor, fuser, photographer, opt,
