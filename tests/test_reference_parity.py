@@ -474,3 +474,105 @@ class TestExportedCheckpointLoadsInReference:
         for k in ("depth", "mask"):
             np.testing.assert_allclose(np.asarray(j_y[k]), t_y[k].numpy(),
                                        atol=5e-4, rtol=1e-3)
+
+
+class TestProcessBatchParity:
+    def test_process_batch_deterministic(self):
+        """The training-batch preprocessing (view folding, canonical zoom,
+        depth-window normalization, GT masking) matches the reference with
+        random_orientation disabled."""
+        from latentfusion.recon import utils as tutils
+
+        from latentfusion_tpu.recon import utils as jutils
+
+        rng = np.random.RandomState(31)
+        B, V, h, w = 2, 3, 48, 64
+        f = 60.0
+        intrinsic = np.tile(np.array(
+            [[f, 0, w / 2, 0], [0, f, h / 2, 0], [0, 0, 1, 0]],
+            np.float32)[None, None], (B, V, 1, 1))
+        q, t = _random_pose(rng, B * V)
+        ext = np.asarray(three.to_extrinsic_matrix(
+            jnp.asarray(t), jnp.asarray(q))).reshape(B, V, 4, 4)
+
+        def group():
+            return {
+                "render": rng.rand(B, V, 3, h, w).astype(np.float32),
+                "mask": (rng.rand(B, V, h, w) > 0.4).astype(np.float32),
+                "depth": rng.uniform(1.2, 1.8, (B, V, h, w)).astype(
+                    np.float32),
+                "extrinsic": ext.copy(), "intrinsic": intrinsic.copy(),
+            }
+
+        batch = {"in": group(), "out_gt": group()}
+        t_batch = {k: {kk: torch.from_numpy(vv.copy())
+                       for kk, vv in v.items()} for k, v in batch.items()}
+
+        with torch.no_grad():
+            t_out = tutils.process_batch(t_batch, cube_size=1.0,
+                                         camera_dist=1.5, input_size=32,
+                                         device="cpu",
+                                         random_orientation=False)
+        j_out = jutils.process_batch(batch, cube_size=1.0, camera_dist=1.5,
+                                     input_size=32, random_orientation=False)
+
+        for grp in ("in", "out_gt"):
+            for field, tol in (("image", 2e-3), ("mask", 0.0),
+                               ("depth", 2e-3)):
+                a = np.asarray(j_out[grp][field])
+                b = t_out[grp][field].numpy()
+                if field == "mask":
+                    agree = (a == b).mean()
+                    assert agree > 0.995, (grp, field, agree)
+                else:
+                    # Tiny fraction of pixels may straddle a bilinear tap
+                    # boundary after fp differences in the zoom box.
+                    close = np.isclose(a, b, atol=tol).mean()
+                    assert close > 0.99, (grp, field, close)
+            np.testing.assert_allclose(
+                np.asarray(j_out[grp]["camera"].viewport),
+                t_out[grp]["camera"].viewport.numpy(), atol=1e-3)
+
+
+class TestOcclusionDecodeParity:
+    def test_photographer_with_occlusion_module(self):
+        """The occlusion UNet3d branch (depth softmax + feature gating,
+        reference models.py:378-395, 427-433) matches with converted
+        weights."""
+        rng = np.random.RandomState(32)
+        torch.manual_seed(32)
+        t_ph = tmodels.Photographer(
+            in_size=8,
+            image_config=[[4, "D", 8], [8, "U", 8, "U", 4]],
+            camera_config=[4, 4],
+            object_config=[4, 4],
+            occlusion_config=[[4, "D", 8], [8, "U", 4]],
+            projection_type="sum",
+            predict_depth=True, predict_mask=True,
+            cube_size=1.0).eval()
+        j_ph = jmodels.Photographer(
+            in_size=8,
+            image_config=((4, "D", 8), (8, "U", 8, "U", 4)),
+            camera_config=(4, 4),
+            object_config=(4, 4),
+            occlusion_config=((4, "D", 8), (8, "U", 4)),
+            projection_type="sum",
+            predict_depth=True, predict_mask=True,
+            cube_size=1.0)
+        j_params = ckpt.convert_torch_state_dict(t_ph.state_dict())
+
+        z_obj = rng.randn(1, 1, 4, 8, 8, 8).astype(np.float32)
+        tcam, jcam = _camera_pair(rng, 2)
+        t_zoom = tcam.zoom(None, target_size=16, target_dist=1.5)
+        j_zoom = jcam.zoom(None, 16, 1.5)
+        with torch.no_grad():
+            t_y, _, t_zd = t_ph.decode(torch.from_numpy(z_obj), t_zoom)
+        j_y, _, j_zd = jmodels.decode(j_ph, j_params, jnp.asarray(z_obj),
+                                      j_zoom)
+        for k in ("depth", "mask"):
+            np.testing.assert_allclose(np.asarray(j_y[k]), t_y[k].numpy(),
+                                       atol=5e-4, rtol=1e-3,
+                                       err_msg=f"occlusion decode {k}")
+        np.testing.assert_allclose(np.asarray(j_zd), t_zd.numpy(),
+                                   atol=5e-4, rtol=1e-3,
+                                   err_msg="occlusion z_depth")
