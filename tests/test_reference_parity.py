@@ -576,3 +576,77 @@ class TestOcclusionDecodeParity:
         np.testing.assert_allclose(np.asarray(j_zd), t_zd.numpy(),
                                    atol=5e-4, rtol=1e-3,
                                    err_msg="occlusion z_depth")
+
+
+class TestBlendFuserParity:
+    def test_blend_fuser(self):
+        """Blend-weight UNet3d + camera->object transform + view softmax
+        with converted weights (reference fusion.py:95-149)."""
+        rng = np.random.RandomState(41)
+        torch.manual_seed(41)
+        cfg = [[5, "D", 8], [8, "U", 4]]
+        t_f = tfusion.BlendFuser(block_config=cfg, in_channels=4,
+                                 cube_size=1.0).eval()
+
+        from latentfusion_tpu.recon.fusion import BlendFuser
+
+        j_f = BlendFuser(block_config=((5, "D", 8), (8, "U", 4)),
+                         in_channels=4, cube_size=1.0)
+        j_params = ckpt.convert_torch_state_dict(t_f.state_dict())
+
+        B, V = 1, 3
+        z_obj = rng.randn(B, V, 4, 8, 8, 8).astype(np.float32)
+        z_cam = rng.randn(B, V, 4, 8, 8, 8).astype(np.float32)
+        tcam, jcam = _camera_pair(rng, B * V)
+        t_zoom = tcam.zoom(None, target_size=16, target_dist=1.5)
+        j_zoom = jcam.zoom(None, 16, 1.5)
+
+        with torch.no_grad():
+            t_out, t_extra = t_f(torch.from_numpy(z_obj), [
+                torch.from_numpy(z_cam)], [], t_zoom)
+        j_out, j_extra = j_f.apply(j_params, jnp.asarray(z_obj),
+                                   [jnp.asarray(z_cam)], [], j_zoom)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   atol=5e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(j_extra["blend_weights"]),
+                                   t_extra["blend_weights"].numpy(),
+                                   atol=5e-4, rtol=1e-3)
+
+
+class TestObservationParity:
+    def _obs_pair(self, rng):
+        from latentfusion.observation import Observation as TorchObservation
+
+        from latentfusion_tpu.observation import Observation as JaxObservation
+
+        t_cam, j_cam = _camera_pair(rng, 2)
+        color = rng.rand(2, 3, HEIGHT, WIDTH).astype(np.float32)
+        mask = np.zeros((2, 1, HEIGHT, WIDTH), np.float32)
+        mask[:, :, 30:90, 50:120] = 1.0
+        depth = (mask * rng.uniform(1.3, 1.6)).astype(np.float32)
+        t_obs = TorchObservation(torch.from_numpy(color.copy()),
+                                 torch.from_numpy(depth.copy()),
+                                 torch.from_numpy(mask.copy()), t_cam)
+        j_obs = JaxObservation(jnp.asarray(color), jnp.asarray(depth),
+                               jnp.asarray(mask), j_cam)
+        return t_obs, j_obs
+
+    def test_zoom_prepare_normalize_pipeline(self):
+        """The full inference preprocessing (zoom -> prepare -> normalize),
+        exactly what preprocess_observation runs (reference
+        inference.py:63-71 over observation.py:225-282)."""
+        rng = np.random.RandomState(42)
+        t_obs, j_obs = self._obs_pair(rng)
+
+        with torch.no_grad():
+            t_p = t_obs.zoom(1.5, 32).prepare().normalize()
+        j_p = j_obs.zoom(1.5, 32).prepare().normalize()
+
+        for field in ("color", "depth", "mask"):
+            a = np.asarray(getattr(j_p, field))
+            b = getattr(t_p, field).numpy()
+            close = np.isclose(a, b, atol=2e-3).mean()
+            assert close > 0.99, (field, close)
+        np.testing.assert_allclose(np.asarray(j_p.camera.viewport),
+                                   t_p.camera.viewport.numpy(), atol=1e-3)
+        assert j_p.meta["is_zoomed"] and j_p.meta["is_normalized"]
