@@ -243,6 +243,26 @@ class TestSyntheticDataset:
         batch = next(iter(loader))
         assert batch["in"]["render"].shape == (2, 1, 3, 30, 40)
 
+    def test_loader_multiprocess_workers(self, tmp_path):
+        """The production render-offload path: worker processes own the
+        rasterizer and feed batches through the queue (SURVEY §2.11)."""
+        from latentfusion_tpu.data.loader import IterableLoader
+
+        ds = synthetic.SyntheticDataset(
+            [make_cube_obj(tmp_path)], num_input_views=1, num_output_views=1,
+            width=40, height=30)
+        loader = IterableLoader(ds, batch_size=2, num_workers=2,
+                                device_put=False)
+        try:
+            it = iter(loader)
+            batches = [next(it) for _ in range(3)]
+        finally:
+            loader.shutdown()
+        for batch in batches:
+            assert batch["in"]["render"].shape == (2, 1, 3, 30, 40)
+            assert np.isfinite(batch["in"]["render"]).all()
+            assert batch["out_gt"]["mask"].sum() > 0
+
 
 class TestBOPDataset:
     def _make_fake_bop(self, tmp_path):
