@@ -650,3 +650,35 @@ class TestObservationParity:
         np.testing.assert_allclose(np.asarray(j_p.camera.viewport),
                                    t_p.camera.viewport.numpy(), atol=1e-3)
         assert j_p.meta["is_zoomed"] and j_p.meta["is_normalized"]
+
+
+class TestRenderIbrParity:
+    @pytest.mark.parametrize("weight_type",
+                             ["cam_dist", "cam_angle", "cam_hybrid", "depth"])
+    def test_render_ibr_all_weight_types(self, weight_type):
+        from latentfusion import ibr as tibr
+
+        from latentfusion_tpu import ibr as jibr
+
+        rng = np.random.RandomState(51)
+        B, Vi, Vo, h, w = 1, 3, 2, 24, 32
+        t_cin, j_cin = _camera_pair(rng, B * Vi)
+        t_cout, j_cout = _camera_pair(rng, B * Vo)
+        image_in = rng.rand(B, Vi, 3, h, w).astype(np.float32)
+        d_in = rng.uniform(1.2, 1.8, (B, Vi, 1, h, w)).astype(np.float32)
+        d_out = rng.uniform(1.2, 1.8, (B, Vo, 1, h, w)).astype(np.float32)
+
+        with torch.no_grad():
+            t_ibr, t_reproj = tibr.render_ibr(
+                t_cin, t_cout, torch.from_numpy(image_in),
+                torch.from_numpy(d_in), torch.from_numpy(d_out),
+                weight_type=weight_type)
+        j_ibr, j_reproj = jibr.render_ibr(
+            j_cin, j_cout, jnp.asarray(image_in), jnp.asarray(d_in),
+            jnp.asarray(d_out), weight_type=weight_type)
+        np.testing.assert_allclose(np.asarray(j_reproj), t_reproj.numpy(),
+                                   atol=5e-4,
+                                   err_msg=f"reproj ({weight_type})")
+        np.testing.assert_allclose(np.asarray(j_ibr), t_ibr.numpy(),
+                                   atol=5e-4, rtol=1e-3,
+                                   err_msg=f"ibr blend ({weight_type})")
