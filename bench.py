@@ -9,14 +9,39 @@ which interleaves Python per-hypothesis optimizers with GPU renders).
 One JSON line is printed:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-``vs_baseline`` is measured throughput divided by an *estimated* RTX 2080 Ti
-reference throughput, computed from the decoder's actual forward FLOPs
-(jax cost analysis): ref = PEAK_2080TI_FP32 * UTIL / (3 * fwd_flops) —
-the reference runs pose refinement in fp32 (autocast only during training,
-reference: recon/models.py:199,405), fwd+bwd ~ 3x fwd, and we credit it a
-generous 40% sustained utilization while ignoring its CPU<->GPU GMM/optimizer
-ping-pong. >1.0 means faster than the estimated baseline; the >=5.0 goal is
-the BASELINE.json target.
+FLOPs accounting (rewritten round 3 — VERDICT r2 found the old model
+physically impossible):
+
+* Two distinct FLOPs bases are probed per mode, both from the
+  **post-optimization compiled executable at the benchmark's actual
+  batch** (``jit(f).lower(...).compile().cost_analysis()``), never from
+  pre-optimization HLO at a different batch:
+
+  - ``tpu mix``: the per-iteration work this framework actually executes
+    (incl. the one-hot MXU sampling matmuls, and fwd+bwd for gradient
+    mode). Used only for the achieved-TF/s / %-of-peak sanity line — it
+    must never exceed the chip's bf16 peak.
+  - ``reference mix``: the same decode+loss compiled with the *gather*
+    volume backend (plain convs + 8-tap trilinear lerp — the op mix the
+    reference's ``F.grid_sample`` executes, reference:
+    modules/geometry.py:16-17, recon/models.py:397-453), forward only.
+    This is the basis for crediting the 2080 Ti baseline; it excludes the
+    deliberately FLOP-inflated one-hot matmuls that only exist here.
+
+* ``vs_baseline`` = measured hyp/s divided by an *estimated* RTX 2080 Ti
+  reference throughput: ref = PEAK_2080TI_FP32 * UTIL / (bwd_factor *
+  ref_mix_fwd_flops_per_hyp). The reference runs pose refinement in fp32
+  (autocast only during training, reference: recon/models.py:199,405),
+  fwd+bwd ~ 3x fwd, and we credit it a generous 40% sustained utilization
+  while ignoring its CPU<->GPU GMM/optimizer ping-pong. >1.0 means faster
+  than the estimated baseline; the >=5.0 goal is the BASELINE.json target.
+
+* Timing ends with a forced host transfer of a result scalar (not just
+  ``block_until_ready``, which can lie on the tunneled TPU backend).
+
+``--json-out PATH`` appends a full accounting record (both FLOPs bases,
+elapsed, cold-compile seconds, device) as one JSON line to PATH — the
+per-round artifact (artifacts/bench_r3.json).
 """
 import argparse
 import json
@@ -28,6 +53,59 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 PEAK_2080TI_FP32 = 13.45e12
 ASSUMED_REF_UTILIZATION = 0.40
+
+# bf16 systolic-array peak by device_kind, for the %-of-peak sanity line.
+TPU_BF16_PEAK = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def _compiled_flops(fn, args_, label):
+    """FLOPs of the optimized executable at the actual batch.
+
+    ``lowered.cost_analysis()`` (what round <=2 used) reports
+    *pre-optimization* HLO flops; after XLA hoists hypothesis-invariant
+    work (e.g. the object-space conv blocks on the shared latent) out and
+    CSEs the rest, the executed count at a large hypothesis batch is much
+    lower per hypothesis. Only the compiled executable's count is honest.
+    """
+    import jax
+
+    try:
+        t0 = time.time()
+        compiled = jax.jit(fn).lower(*args_).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+        print(f"# flops probe [{label}]: {flops / 1e9:.2f} GF "
+              f"(compile {time.time() - t0:.1f}s)", file=sys.stderr)
+        return flops
+    except Exception as exc:  # pragma: no cover - backend-dependent
+        print(f"# flops probe [{label}] failed: {exc!r}", file=sys.stderr)
+        return float("nan")
+
+
+def _sync_scalar(x):
+    """Force a host transfer — honest end-of-timing on the tunneled
+    backend (block_until_ready alone can return early there)."""
+    import jax
+    import numpy as np
+
+    jax.block_until_ready(x)
+    leaves = [l for l in jax.tree_util.tree_leaves(x) if hasattr(l, "ravel")]
+    return float(np.asarray(jax.device_get(leaves[0])).ravel()[0])
+
+
+def _append_json(path, record):
+    if not path:
+        return
+    with open(path, "a") as f:
+        f.write(json.dumps(record) + "\n")
 
 
 def main():
@@ -46,7 +124,9 @@ def main():
                         help="full mode: corrupt the target mask with the "
                              "training mask-noise chain (MOPED real-capture "
                              "conditions, BASELINE config #4)")
-    parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--iters", type=int, default=100,
+                        help="loop iterations (adam_quick runs 100, "
+                             "reference: configs/adam_quick.toml)")
     parser.add_argument("--batch", type=int, default=1,
                         help="train mode: total batch size (published "
                              "recipe: 8)")
@@ -56,6 +136,17 @@ def main():
     parser.add_argument("--remat", action="store_true",
                         help="train mode: rematerialize encode/decode "
                              "(needed for the published batch at 256^2)")
+    parser.add_argument("--layout", default=None,
+                        choices=["auto", "torch", "channels_last"],
+                        help="decoder-internal activation layout A/B "
+                             "(layout.set_decode_layout; auto = "
+                             "channels-last on TPU)")
+    parser.add_argument("--json-out", default=None,
+                        help="append the full accounting record as one JSON "
+                             "line to this file (per-round artifact)")
+    parser.add_argument("--skip-flops-probe", action="store_true",
+                        help="skip the compiled-executable FLOPs probes "
+                             "(vs_baseline and %%-peak become null)")
     parser.add_argument("--volume-backend", default=None,
                         choices=["auto", "gather", "matmul", "pallas"],
                         help="3D warp backend A/B (transforms."
@@ -87,6 +178,11 @@ def main():
         from latentfusion_tpu import transforms
 
         transforms.set_volume_sample_backend(args.volume_backend)
+
+    if args.layout:
+        from latentfusion_tpu import layout
+
+        layout.set_decode_layout(args.layout)
 
     from latentfusion_tpu import testing, zoo
     from latentfusion_tpu.pose import estimation
@@ -169,19 +265,84 @@ def main():
     init_cam = jax.jit(lambda: pu.sample_cameras_with_estimate(
         args.hypotheses, cam0, key=jax.random.PRNGKey(1)))()
 
-    # Forward FLOPs of one decode for the baseline estimate.
-    zoom_cam = jax.jit(
-        lambda c: c.zoom(None, input_size, camera_dist))(init_cam)
-    decode_jit = jax.jit(lambda p, zo, c: model.decode_latent(zo, c)[0]["depth"])
-    try:
-        # Pre-compile HLO cost analysis (compiling here costs minutes on the
-        # remote-compile TPU backend and is not needed for a FLOP count).
-        lowered = decode_jit.lower(ph_params, z_obj, zoom_cam)
-        fwd_flops_per_hyp = lowered.cost_analysis()["flops"] / args.hypotheses
-    except Exception:
-        # Recorded from compiled XLA cost analysis of the flagship decoder
-        # (8 hypotheses, 256^2): 40.3 GFLOP per hypothesis forward.
-        fwd_flops_per_hyp = 40.3e9 if not args.tiny else float("nan")
+    # ---- FLOPs accounting (see module docstring). Probed per mode at the
+    # mode's ACTUAL hypothesis batch, from the compiled executable.
+    from latentfusion_tpu import transforms
+
+    def fwd_score_sum(z, tgt, cam):
+        loss, _ = est._score_hypotheses(z, tgt, cam)
+        return loss.sum()
+
+    if args.mode == "cem":
+        # The CEM body renders 512 fresh full-frame cameras per iteration
+        # (128 GMM samples x 4 flips) and scores them forward-only. The
+        # probe maps over 64-hyp chunks: a single unrolled 512-hyp score
+        # materializes the full one-hot tap matrix (16 GB) where the real
+        # loop gets tiled by XLA's scheduler; chunking bounds the probe's
+        # memory with identical flops (hyp-invariant work per 64-hyp chunk
+        # differs from per-512 by < 1%).
+        probe_cam = jax.jit(lambda: pu.sample_cameras_with_estimate(
+            hyp_per_iter, cam0, key=jax.random.PRNGKey(7)))()
+        chunk = min(64, hyp_per_iter)
+
+        def fwd_score_chunked(z, tgt, cam):
+            leaves, treedef = jax.tree_util.tree_flatten(cam)
+            chunked = [l.reshape(-1, chunk, *l.shape[1:]) for l in leaves]
+
+            def score_one(c_leaves):
+                c = jax.tree_util.tree_unflatten(treedef, c_leaves)
+                return fwd_score_sum(z, tgt, c)
+
+            return jax.lax.map(score_one, chunked).sum()
+
+        probe_iter_fn, probe_iter_args = (
+            fwd_score_chunked, (z_obj, target_obs, probe_cam))
+        probe_note = (f"fwd score at {hyp_per_iter} hyp in {chunk}-hyp "
+                      "chunks (GMM EM excluded)")
+    else:
+        # The gradient body differentiates decode+loss w.r.t. the camera
+        # params; the adam/plateau/ranking updates are O(N*10) and omitted.
+        zoom_probe_cam = jax.jit(
+            lambda c: c.zoom(None, input_size, camera_dist))(init_cam)
+        params0 = pu.camera_params(zoom_probe_cam, optimize_viewport=True)
+
+        def grad_iter(params, z, tgt):
+            def loss_fn(p):
+                cam = zoom_probe_cam.replace(**p)
+                z_depth, _, z_mask_logits, z_lat = est._render_zoomed(z, cam)
+                ld = est.loss_func(tgt, z_depth, z_mask_logits, cam,
+                                   z_pred_latent=z_lat)
+                return sum(estimation.weigh_losses(
+                    ld, est.loss_weights).values()).sum()
+
+            return jax.grad(loss_fn)(params)
+
+        probe_iter_fn, probe_iter_args = grad_iter, (params0, z_obj,
+                                                     target_obs)
+        probe_note = (f"fwd+bwd decode+loss at {args.hypotheses} hyp "
+                      "(adam/ranking updates excluded)")
+
+    if args.skip_flops_probe:
+        tpu_flops_per_hyp = float("nan")
+        ref_flops_per_hyp = float("nan")
+    else:
+        n_probe = hyp_per_iter if args.mode == "cem" else args.hypotheses
+        tpu_flops_per_hyp = _compiled_flops(
+            probe_iter_fn, probe_iter_args,
+            f"{args.mode} tpu mix: {probe_note}") / n_probe
+        # Reference op mix: identical decode+loss, forward-only, with the
+        # gather volume backend (convs + 8-tap trilinear lerp; no one-hot
+        # matmuls). This is what the 2080 Ti is credited with.
+        prev_backend = transforms.get_volume_sample_backend()
+        transforms.set_volume_sample_backend("gather")
+        try:
+            ref_cam = (probe_cam if args.mode == "cem" else init_cam)
+            ref_flops_per_hyp = _compiled_flops(
+                fwd_score_sum, (z_obj, target_obs, ref_cam),
+                f"{args.mode} reference mix: gather fwd at "
+                f"{ref_cam.length} hyp") / ref_cam.length
+        finally:
+            transforms.set_volume_sample_backend(prev_backend)
 
     if args.objects > 1 and args.mode == "gradient":
         # Multi-object batched refinement: every object owns a block of
@@ -211,38 +372,85 @@ def main():
     # Warmup (compile).
     print("# compiling refinement loop...", file=sys.stderr)
     t0 = time.time()
-    jax.block_until_ready(run_estimate())
-    print(f"# compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    _sync_scalar(run_estimate())
+    cold_s = time.time() - t0
+    print(f"# compile+first run: {cold_s:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    jax.block_until_ready(run_estimate())
+    _sync_scalar(run_estimate())
     elapsed = time.time() - t0
 
     hyp_renders = hyp_per_iter * args.iters
     hyp_per_sec = hyp_renders / elapsed
 
-    if fwd_flops_per_hyp == fwd_flops_per_hyp:  # not nan
+    if ref_flops_per_hyp == ref_flops_per_hyp:  # not nan
         ref_hyp_per_sec = (PEAK_2080TI_FP32 * ASSUMED_REF_UTILIZATION
-                           / (bwd_factor * fwd_flops_per_hyp))
+                           / (bwd_factor * ref_flops_per_hyp))
         vs_baseline = hyp_per_sec / ref_hyp_per_sec
     else:
         ref_hyp_per_sec = float("nan")
         vs_baseline = float("nan")
 
-    desc = ("fwd+bwd, flagship decoder" if args.mode == "gradient"
-            else "fwd scoring, flagship decoder, cem")
+    # Achieved-TF/s sanity line (tpu mix). Must never exceed the chip's
+    # bf16 peak — that was VERDICT r2's smoking gun for the old model.
+    device_kind = jax.devices()[0].device_kind
+    peak = TPU_BF16_PEAK.get(device_kind)
+    achieved_tflops = hyp_per_sec * tpu_flops_per_hyp / 1e12
+    if achieved_tflops == achieved_tflops:
+        pct = (100.0 * achieved_tflops * 1e12 / peak) if peak else None
+        print(f"# achieved {achieved_tflops:.1f} TF/s (tpu mix, "
+              f"{tpu_flops_per_hyp / 1e9:.2f} GF/hyp)"
+              + (f" = {pct:.1f}% of {device_kind} bf16 peak" if peak else ""),
+              file=sys.stderr)
+        if peak and achieved_tflops * 1e12 > peak:
+            print("# WARNING: implied TF/s exceeds peak — FLOPs model or "
+                  "timing is wrong; do not publish this number",
+                  file=sys.stderr)
+    else:
+        pct = None
+
+    family = "tiny decoder" if args.tiny else "flagship decoder"
+    desc = (f"fwd+bwd, {family}" if args.mode == "gradient"
+            else f"fwd scoring, {family}, cem")
     if args.objects > 1 and args.mode == "gradient":
         desc += f", {args.objects} objects batched"
+    vs_ok = vs_baseline == vs_baseline
     print(json.dumps({
         "metric": "pose_hypotheses_per_sec_per_chip",
         "value": round(hyp_per_sec, 2),
         "unit": f"hypothesis-renders/s ({desc}, "
                 f"{hyp_per_iter} hyp x {args.iters} iters)",
-        "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline
-        else None,
+        "vs_baseline": round(vs_baseline, 3) if vs_ok else None,
     }))
-    print(f"# elapsed={elapsed:.3f}s fwd_flops/hyp={fwd_flops_per_hyp} "
-          f"est_2080ti={ref_hyp_per_sec:.2f} hyp/s", file=sys.stderr)
+    print(f"# elapsed={elapsed:.3f}s ref_mix_fwd={ref_flops_per_hyp / 1e9:.2f}"
+          f" GF/hyp est_2080ti={ref_hyp_per_sec:.2f} hyp/s", file=sys.stderr)
+    _append_json(args.json_out, {
+        "mode": args.mode, "metric": "pose_hypotheses_per_sec_per_chip",
+        "value": round(hyp_per_sec, 2), "hyp_per_iter": hyp_per_iter,
+        "iters": args.iters, "elapsed_s": round(elapsed, 3),
+        "cold_compile_s": round(cold_s, 1),
+        "device_kind": device_kind,
+        "tpu_mix_flops_per_hyp": (None if tpu_flops_per_hyp
+                                  != tpu_flops_per_hyp
+                                  else round(tpu_flops_per_hyp)),
+        "ref_mix_fwd_flops_per_hyp": (None if ref_flops_per_hyp
+                                      != ref_flops_per_hyp
+                                      else round(ref_flops_per_hyp)),
+        "achieved_tflops_tpu_mix": (None if achieved_tflops
+                                    != achieved_tflops
+                                    else round(achieved_tflops, 1)),
+        "pct_of_bf16_peak": None if pct is None else round(pct, 1),
+        "baseline_model": {
+            "gpu": "RTX 2080 Ti", "peak_fp32": PEAK_2080TI_FP32,
+            "assumed_utilization": ASSUMED_REF_UTILIZATION,
+            "bwd_factor": bwd_factor,
+            "flops_basis": "reference op mix (gather fwd), compiled "
+                           "executable at actual batch"},
+        "est_2080ti_hyp_per_sec": (None if ref_hyp_per_sec
+                                   != ref_hyp_per_sec
+                                   else round(ref_hyp_per_sec, 2)),
+        "vs_baseline": round(vs_baseline, 3) if vs_ok else None,
+    })
 
 
 def bench_full_pipeline(args, model, oracle, cam0, input_size, camera_dist):
@@ -331,15 +539,16 @@ def bench_full_pipeline(args, model, oracle, cam0, input_size, camera_dist):
 
     print("# compiling full pipeline...", file=sys.stderr)
     t0 = time.time()
-    jax.block_until_ready(run_object())
-    print(f"# compile+first object: {time.time() - t0:.1f}s", file=sys.stderr)
+    _sync_scalar(run_object())
+    cold_s = time.time() - t0
+    print(f"# compile+first object: {cold_s:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    jax.block_until_ready(run_object())
+    _sync_scalar(run_object())
     elapsed = time.time() - t0
 
     unit = ("s (16-view reconstruction + cross_entropy_quick + adam_slow, "
-            "flagship)")
+            "flagship, warm jit cache)")
     if args.noisy_masks:
         unit += ", corrupted target masks (MOPED conditions)"
     if n_obj > 1:
@@ -350,6 +559,15 @@ def bench_full_pipeline(args, model, oracle, cam0, input_size, camera_dist):
         "unit": unit,
         "vs_baseline": None,
     }))
+    _append_json(args.json_out, {
+        "mode": "full", "metric": "seconds_per_object_end_to_end",
+        "value": round(elapsed / n_obj, 3), "objects": n_obj,
+        "cold_compile_plus_first_object_s": round(cold_s, 1),
+        "noisy_masks": bool(args.noisy_masks),
+        "device_kind": jax.devices()[0].device_kind,
+        "note": "warm-cache steady state; cold first object includes jit "
+                "compilation (amortized by the persistent compilation "
+                "cache across processes)"})
 
 
 def bench_train_step(args, input_size, camera_dist):
@@ -419,7 +637,8 @@ def bench_train_step(args, input_size, camera_dist):
     t0 = time.time()
     state, aux = step(state, batch, key)
     sync(aux)
-    print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+    cold_s = time.time() - t0
+    print(f"# compile+first step: {cold_s:.1f}s", file=sys.stderr)
 
     iters = max(args.iters // 5, 3)
     t0 = time.time()
@@ -437,6 +656,14 @@ def bench_train_step(args, input_size, camera_dist):
     }))
     print(f"# {per_step * 1e3:.1f} ms/step = "
           f"{(v_in + v_out) * b / per_step:.1f} views/s", file=sys.stderr)
+    _append_json(args.json_out, {
+        "mode": "train", "metric": "train_steps_per_sec_per_chip",
+        "value": round(1.0 / per_step, 3), "batch": b,
+        "batch_groups": args.batch_groups, "views_in": v_in,
+        "views_out": v_out, "input_size": input_size,
+        "remat": bool(args.remat), "cold_compile_s": round(cold_s, 1),
+        "device_kind": jax.devices()[0].device_kind,
+        "views_per_sec": round((v_in + v_out) * b / per_step, 1)})
 
 
 if __name__ == "__main__":

@@ -120,7 +120,16 @@ class Camera:
         obj.z_span, obj.width, obj.height = aux
         return obj
 
+    _REPLACE_FIELDS = frozenset((
+        "intrinsic", "viewport", "log_quaternion", "translation", "z_span",
+        "width", "height"))
+
     def replace(self, **kwargs) -> "Camera":
+        unknown = set(kwargs) - self._REPLACE_FIELDS
+        if unknown:
+            # e.g. replace(extrinsic=...) would otherwise silently no-op;
+            # pose lives in log_quaternion/translation.
+            raise TypeError(f"Camera.replace: unknown fields {sorted(unknown)}")
         out = object.__new__(Camera)
         out.intrinsic = kwargs.get("intrinsic", self.intrinsic)
         out.viewport = kwargs.get("viewport", self.viewport)

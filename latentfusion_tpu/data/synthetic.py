@@ -202,36 +202,65 @@ class SyntheticDataset:
                 logger.warning("failed to read depth image %s", path)
         raise RuntimeError("could not load a background depth")
 
+    # The reference's measured-BRDF roughness values: for each of the 100
+    # MERL materials it converts Blinn-Phong glossiness g (resources/
+    # merl_blinn_phong.csv, measured data) to roughness (2/(g+2))^(1/4) and
+    # samples uniformly from them (reference: pyrender.py:41-48, 233).
+    # These are the resulting values, sorted.
+    MERL_ROUGHNESS = (
+        0.0638, 0.0647, 0.0658, 0.0662, 0.0662, 0.0681, 0.0704, 0.0738,
+        0.0756, 0.0781, 0.0789, 0.0791, 0.0813, 0.0817, 0.0826, 0.0837,
+        0.0866, 0.0881, 0.0888, 0.0891, 0.0892, 0.0892, 0.0904, 0.0904,
+        0.0916, 0.0952, 0.0999, 0.1, 0.1, 0.1028, 0.1035, 0.1069, 0.1099,
+        0.1246, 0.1414, 0.1416, 0.1418, 0.1461, 0.1529, 0.1838, 0.1984,
+        0.1999, 0.2093, 0.2093, 0.2478, 0.2514, 0.2704, 0.2862, 0.2988,
+        0.3003, 0.3098, 0.3098, 0.3186, 0.3203, 0.3338, 0.3495, 0.3502,
+        0.3624, 0.3715, 0.3766, 0.381, 0.3847, 0.3874, 0.3893, 0.3912,
+        0.3915, 0.3917, 0.3927, 0.3939, 0.3962, 0.4015, 0.4055, 0.407,
+        0.4187, 0.4193, 0.4204, 0.4535, 0.4566, 0.4576, 0.462, 0.4666,
+        0.4674, 0.4691, 0.472, 0.4765, 0.4842, 0.4852, 0.4886, 0.495,
+        0.4973, 0.5094, 0.5207, 0.5256, 0.5329, 0.5491, 0.6043, 0.6363,
+        0.6527, 0.8726, 0.9029,
+    )
+
     def sample_roughness(self) -> float:
-        """Roughness distribution shaped like the reference's MERL-measured
-        material roughness CSV (pyrender.py:241-243 samples a measured BRDF
-        roughness): most materials are moderately rough with a glossy tail.
-        Beta(2, 3) over (0.05, 1.0] matches the MERL histogram's mass around
-        0.3-0.5 with occasional near-specular draws."""
-        return float(np.clip(np.random.beta(2.0, 3.0), 0.05, 1.0))
+        """Uniform draw from the reference's MERL-derived roughness values
+        (exact empirical distribution; reference: pyrender.py:233)."""
+        return float(random.choice(self.MERL_ROUGHNESS))
 
     def _apply_random_material(self, obj):
-        """Random per-mesh material (reference: pyrender.py:232-250
+        """Random material (reference: pyrender.py:232-250
         metallic-roughness PBR with UV-rescaled COCO textures):
 
-        - meshes WITH UVs get the texture image UV-mapped with a random
-          tile scale (the reference's UV rescale) via the rasterizer's
-          bilinear texture path;
-        - meshes without UVs fall back to a random planar projection baked
-          into vertex colors.
+        - objects whose meshes ALL have UVs get one shared texture image
+          UV-mapped with a random tile scale (the reference's UV rescale)
+          via the rasterizer's bilinear texture path — the rasterizer
+          renders the merged buffer with a single texture, and it only
+          takes the UV path when every mesh has UVs (rendering.py), so the
+          decision is per object, not per mesh;
+        - otherwise meshes fall back to a random planar projection baked
+          into vertex colors (so partially-UV'd objects keep full material
+          diversity instead of silently rendering flat albedo).
         """
+        use_uv_texture = (self.texture_paths
+                          and all(m.uvs is not None for m in obj.meshes)
+                          and random.random() < 0.9)
+        if use_uv_texture:
+            tex = self.load_random_image(self.texture_paths)
+            base = np.random.uniform(0.5, 1.0, 3)
+            texture = np.clip(tex.astype(np.float32) / 255.0 * base, 0, 1)
+            uv_scale = random.uniform(1.0, 8.0)
+            for mesh in obj.meshes:
+                mesh.texture = texture
+                mesh.uv_scale = uv_scale
+                mesh.vertex_colors = None
+            return
         for mesh in obj.meshes:
             mesh.texture = None
             mesh.uv_scale = 1.0
             if self.texture_paths and random.random() < 0.9:
                 tex = self.load_random_image(self.texture_paths)
                 base = np.random.uniform(0.5, 1.0, 3)
-                if mesh.uvs is not None:
-                    mesh.texture = np.clip(
-                        tex.astype(np.float32) / 255.0 * base, 0, 1)
-                    mesh.uv_scale = random.uniform(1.0, 8.0)
-                    mesh.vertex_colors = None
-                    continue
                 th, tw = tex.shape[:2]
                 # Sample the texture with a random planar projection of the
                 # vertices (no UVs present).

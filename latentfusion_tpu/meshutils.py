@@ -36,7 +36,11 @@ def load_obj(path) -> dict:
     """Minimal Wavefront OBJ loader (v / vt / f; polygon faces are
     fan-triangulated). When the file has texture coordinates, vertices are
     split per distinct (v, vt) corner pair so UVs are per-vertex (the
-    layout the rasterizer consumes)."""
+    layout the rasterizer consumes); the vertex buffer is therefore
+    reindexed in corner-first order and unreferenced vertices are dropped.
+    Lines are processed in file order, so negative (relative) face indices
+    resolve against the element counts at the face's position, per the OBJ
+    spec (ADVICE r2)."""
     vertices, uvs, faces = [], [], []
     corner_map = {}
     out_vertices, out_uvs = [], []
@@ -56,23 +60,21 @@ def load_obj(path) -> dict:
             out_uvs.append(uvs[ti] if ti is not None else (0.0, 0.0))
         return corner_map[key]
 
-    with open(path, "r", errors="replace") as f:
-        lines = f.readlines()
     has_uvs = False
-    for line in lines:
-        if line.startswith("v "):
-            parts = line.split()
-            vertices.append([float(x) for x in parts[1:4]])
-        elif line.startswith("vt "):
-            parts = line.split()
-            uvs.append((float(parts[1]),
-                        float(parts[2]) if len(parts) > 2 else 0.0))
-            has_uvs = True
-    for line in lines:
-        if line.startswith("f "):
-            idx = [corner(tok) for tok in line.split()[1:]]
-            for k in range(1, len(idx) - 1):
-                faces.append([idx[0], idx[k], idx[k + 1]])
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                vertices.append([float(x) for x in parts[1:4]])
+            elif line.startswith("vt "):
+                parts = line.split()
+                uvs.append((float(parts[1]),
+                            float(parts[2]) if len(parts) > 2 else 0.0))
+                has_uvs = True
+            elif line.startswith("f "):
+                idx = [corner(tok) for tok in line.split()[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
 
     out = {
         "vertices": np.asarray(out_vertices, dtype=np.float32).reshape(-1, 3),

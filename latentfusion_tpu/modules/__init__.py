@@ -10,9 +10,12 @@ from .equalized import (  # noqa: F401
 
 
 def pixel_norm(x, eps: float = 1e-8):
-    """PixelNorm over the channel dim (dim 1)
-    (reference: modules/__init__.py:8-15)."""
-    return x / jnp.sqrt(jnp.mean(x ** 2, axis=1, keepdims=True) + eps)
+    """PixelNorm over the channel dim (dim 1, or the trailing dim under the
+    channels-last layout policy) (reference: modules/__init__.py:8-15)."""
+    from ..layout import channel_axis
+
+    return x / jnp.sqrt(
+        jnp.mean(x ** 2, axis=channel_axis(), keepdims=True) + eps)
 
 
 from .blocks import (  # noqa: F401,E402

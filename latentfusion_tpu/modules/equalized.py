@@ -26,6 +26,14 @@ _DIMENSION_NUMBERS = {
     3: ("NCDHW", "OIDHW", "NCDHW"),
 }
 
+# Channels-last activations (layout.py policy); weights stay torch-layout
+# (the rhs spec is independent of the lhs/out specs).
+_DIMENSION_NUMBERS_CL = {
+    1: ("NHC", "OIH", "NHC"),
+    2: ("NHWC", "OIHW", "NHWC"),
+    3: ("NDHWC", "OIDHW", "NDHWC"),
+}
+
 
 class EqualizedConv(nn.Module):
     """N-dimensional equalized conv (reference: equalized.py:35-99)."""
@@ -49,8 +57,10 @@ class EqualizedConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         from ..dtypes import get_compute_dtype
+        from ..layout import channels_last
 
         compute_dtype = self.dtype or get_compute_dtype()
+        cl = channels_last()
         ks = self._tuple(self.kernel_size)
         stride = self._tuple(self.stride)
         padding = self._tuple(self.padding)
@@ -70,7 +80,8 @@ class EqualizedConv(nn.Module):
             weight.astype(compute_dtype),
             window_strides=stride,
             padding=pad,
-            dimension_numbers=_DIMENSION_NUMBERS[self.ndim],
+            dimension_numbers=(_DIMENSION_NUMBERS_CL if cl
+                               else _DIMENSION_NUMBERS)[self.ndim],
         )
         if self.equalized:
             fan_in = self.in_channels * math.prod(ks)
@@ -79,8 +90,11 @@ class EqualizedConv(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.out_channels,), jnp.float32)
-            y = y + bias.astype(y.dtype).reshape(
-                (1, -1) + (1,) * self.ndim)
+            if cl:
+                y = y + bias.astype(y.dtype)
+            else:
+                y = y + bias.astype(y.dtype).reshape(
+                    (1, -1) + (1,) * self.ndim)
         return y
 
 

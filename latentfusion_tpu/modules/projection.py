@@ -28,10 +28,14 @@ class TileProjection2d3d(nn.Module):
 
     def __call__(self, x):
         from . import pixel_norm
+        from ..layout import channels_last
 
         x = self.conv(x)
         x = jax.nn.leaky_relu(x, self.relu_slope)
         x = pixel_norm(x)
+        if channels_last():  # (N, H, W, C) -> (N, D, H, W, C)
+            return jnp.broadcast_to(
+                x[:, None], (x.shape[0], self.out_size, *x.shape[1:]))
         return jnp.broadcast_to(
             x[:, :, None],
             (x.shape[0], x.shape[1], self.out_size, *x.shape[2:]))
@@ -53,10 +57,17 @@ class FactorProjection2d3d(nn.Module):
 
     def __call__(self, x):
         from . import pixel_norm
+        from ..layout import channels_last
 
         x = self.conv(x)
         x = jax.nn.leaky_relu(x, self.relu_slope)
         x = pixel_norm(x)
+        if channels_last():
+            # (N, H, W, C*D): flat channel index is c*D + d (the reference's
+            # torch-layout reshape ordering) -> (N, D, H, W, C).
+            n, h, w, _ = x.shape
+            x = x.reshape(n, h, w, self.out_channels, -1)
+            return x.transpose(0, 4, 1, 2, 3)
         return x.reshape(x.shape[0], self.out_channels, -1,
                          x.shape[-2], x.shape[-1])
 
@@ -76,9 +87,16 @@ class FactorProjection3d2d(nn.Module):
 
     def __call__(self, x):
         from . import pixel_norm
+        from ..layout import channels_last
 
-        x = x.reshape(x.shape[0], x.shape[1] * x.shape[2],
-                      x.shape[3], x.shape[4])
+        if channels_last():
+            # (N, D, H, W, C) -> (N, H, W, C*D) with flat index c*D + d so
+            # the torch-layout conv weights apply unchanged.
+            n, d, h, w, c = x.shape
+            x = x.transpose(0, 2, 3, 4, 1).reshape(n, h, w, c * d)
+        else:
+            x = x.reshape(x.shape[0], x.shape[1] * x.shape[2],
+                          x.shape[3], x.shape[4])
         x = self.conv(x)
         x = jax.nn.leaky_relu(x, self.relu_slope)
         x = pixel_norm(x)

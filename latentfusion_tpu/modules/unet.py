@@ -82,6 +82,9 @@ class BaseUNet(nn.Module):
             ]
 
     def __call__(self, z, z_inject=None, return_intermediate: bool = False):
+        from ..layout import channel_axis, channels_last
+
+        ch = channel_axis()
         if self.in_channels is not None:
             z = self.input_block(z)
 
@@ -92,15 +95,21 @@ class BaseUNet(nn.Module):
 
         if z_inject is not None:
             assert z_inject.shape[0] == z.shape[0]
-            z_inject = jnp.broadcast_to(
-                z_inject.reshape(*z_inject.shape,
-                                 *([1] * (z.ndim - 2))),
-                (*z_inject.shape, *z.shape[2:]))
-            z = jnp.concatenate((z, z_inject), axis=1)
+            nsp = z.ndim - 2
+            if channels_last():
+                z_inject = jnp.broadcast_to(
+                    z_inject.reshape(z_inject.shape[0], *([1] * nsp),
+                                     z_inject.shape[1]),
+                    (z_inject.shape[0], *z.shape[1:-1], z_inject.shape[1]))
+            else:
+                z_inject = jnp.broadcast_to(
+                    z_inject.reshape(*z_inject.shape, *([1] * nsp)),
+                    (*z_inject.shape, *z.shape[2:]))
+            z = jnp.concatenate((z, z_inject), axis=ch)
 
         for block_id, block in enumerate(self.up_blocks):
             if 1 <= block_id < len(x_intermediate):
-                z = jnp.concatenate((z, x_intermediate[block_id]), axis=1)
+                z = jnp.concatenate((z, x_intermediate[block_id]), axis=ch)
             z = block(z)
 
         if self.out_channels is None:
@@ -109,7 +118,7 @@ class BaseUNet(nn.Module):
             z = self.output_block(z)
         else:
             outputs = [ob(z) for ob in self.output_block]
-            z = jnp.concatenate(outputs, axis=1)
+            z = jnp.concatenate(outputs, axis=ch)
 
         if return_intermediate:
             return z, x_intermediate

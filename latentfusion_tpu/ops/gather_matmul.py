@@ -56,10 +56,8 @@ def _expand_taps(wz, wy, wx, n):
             * wx[:, :, None, None, :]).reshape(n, wz.shape[1], -1)
 
 
-def _sample_matmul_impl(input, grid, dims, padding_mode, compute_dtype):
-    """input: (N, C, J) flat volume; grid: (N, K, 3) [-1,1] (x,y,z) coords;
-    dims = (d, h, w) with J == d*h*w."""
-    n, c, _ = input.shape
+def _tap_weights(grid, dims, padding_mode, compute_dtype):
+    """(N, K, J) trilinear tap matrix from a flat (N, K, 3) grid."""
     d, h, w = dims
     x = _unnormalize(grid[..., 0], w)
     y = _unnormalize(grid[..., 1], h)
@@ -67,23 +65,40 @@ def _sample_matmul_impl(input, grid, dims, padding_mode, compute_dtype):
     wx = _axis_factor(x, w, padding_mode, compute_dtype)
     wy = _axis_factor(y, h, padding_mode, compute_dtype)
     wz = _axis_factor(z, d, padding_mode, compute_dtype)
-    weight = _expand_taps(wz, wy, wx, n)
+    return _expand_taps(wz, wy, wx, grid.shape[0])
+
+
+def _sample_matmul_impl(input, grid, dims, padding_mode, compute_dtype):
+    """input: (N, C, J) flat volume; grid: (N, K, 3) [-1,1] (x,y,z) coords;
+    dims = (d, h, w) with J == d*h*w."""
+    weight = _tap_weights(grid, dims, padding_mode, compute_dtype)
     vol = input.astype(compute_dtype)
     return jnp.einsum("nkj,ncj->nck", weight, vol,
                       preferred_element_type=jnp.float32)
 
 
 def grid_sample_3d_matmul(input, grid, padding_mode: str = "zeros",
-                          compute_dtype=None):
+                          compute_dtype=None, channels_last: bool = False):
     """Drop-in for ``grid_sample_3d(mode='bilinear')`` on small volumes.
 
-    input: (N, C, D, H, W); grid: (N, Do, Ho, Wo, 3) with (x, y, z).
+    input: (N, C, D, H, W) — or (N, D, H, W, C) with ``channels_last``, in
+    which case the sampler contracts ``(N,K,J)x(N,J,C)->(N,K,C)`` so its
+    output feeds channels-last convs with no physical transpose (layout.py).
+    grid: (N, Do, Ho, Wo, 3) with (x, y, z).
     """
     if compute_dtype is None:
         compute_dtype = get_compute_dtype()
-    n, c, d, h, w = input.shape
     out_spatial = grid.shape[1:4]
+    n = input.shape[0]
     g = grid.reshape(n, -1, 3).astype(jnp.float32)
+    if channels_last:
+        d, h, w, c = input.shape[1:]
+        weight = _tap_weights(g, (d, h, w), padding_mode, compute_dtype)
+        vol = input.reshape(n, -1, c).astype(compute_dtype)
+        out = jnp.einsum("nkj,njc->nkc", weight, vol,
+                         preferred_element_type=jnp.float32)
+        return out.reshape(n, *out_spatial, c).astype(jnp.float32)
+    c, d, h, w = input.shape[1:]
     flat = input.reshape(n, c, -1).astype(jnp.float32)
     out = _sample_matmul_impl(flat, g, (d, h, w), padding_mode,
                               compute_dtype)

@@ -73,12 +73,16 @@ def _out_size(in_size: int, scale_factor: float) -> int:
 
 
 def interpolate(x, scale_factor=None, size=None, mode: str = "nearest"):
-    """Mirror of ``F.interpolate`` for (N, C, *spatial) inputs.
+    """Mirror of ``F.interpolate`` for (N, C, *spatial) inputs (or
+    (N, *spatial, C) under the channels-last layout policy).
 
     Supports mode in {'nearest', 'bilinear', 'trilinear', 'linear'};
     (bi/tri)linear uses align_corners=False.
     """
-    spatial = x.shape[2:]
+    from ..layout import channels_last
+
+    first = 1 if channels_last() else 2
+    spatial = x.shape[first:x.ndim - 1] if channels_last() else x.shape[2:]
     ndim = len(spatial)
     if size is None:
         if scale_factor is None:
@@ -90,11 +94,11 @@ def interpolate(x, scale_factor=None, size=None, mode: str = "nearest"):
 
     if mode == "nearest":
         for d in range(ndim):
-            x = _resize_axis_nearest(x, 2 + d, size[d])
+            x = _resize_axis_nearest(x, first + d, size[d])
         return x
     elif mode in ("linear", "bilinear", "trilinear"):
         for d in range(ndim):
-            x = _resize_axis_linear(x, 2 + d, size[d])
+            x = _resize_axis_linear(x, first + d, size[d])
         return x
     raise ValueError(f"Unsupported mode {mode!r}")
 

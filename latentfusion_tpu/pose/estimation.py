@@ -152,6 +152,27 @@ class Ranking(NamedTuple):
     steps: jnp.ndarray           # (K,)
 
 
+def plateau_lr_update(loss, lr, best, num_bad, *, threshold: float,
+                      patience: int, factor: float):
+    """Vectorized per-hypothesis ``ReduceLROnPlateau`` step (mode='min',
+    threshold_mode='rel', cooldown=0 — the reference's per-optimizer
+    scheduler config, estimation.py:588-594).
+
+    Returns the updated ``(lr, best, num_bad)``. Semantics match
+    ``torch.optim.lr_scheduler.ReduceLROnPlateau``: a loss is an
+    improvement iff ``loss < best * (1 - threshold)``; ``patience``
+    non-improving steps are tolerated before the lr is multiplied by
+    ``factor`` (verified against torch in tests/test_estimator_parity.py).
+    """
+    improved = loss < best * (1.0 - threshold)
+    best = jnp.where(improved, loss, best)
+    num_bad = jnp.where(improved, 0, num_bad + 1)
+    reduce_now = num_bad > patience
+    lr = jnp.where(reduce_now, lr * factor, lr)
+    num_bad = jnp.where(reduce_now, 0, num_bad)
+    return lr, best, num_bad
+
+
 def init_ranking(k: int) -> Ranking:
     return Ranking(
         losses=jnp.full((k,), jnp.inf),
@@ -230,6 +251,20 @@ def ranking_to_camera(ranking: Ranking, template: Camera) -> Camera:
                   width=template.width, height=template.height)
 
 
+_ranking_to_camera_jit = jax.jit(ranking_to_camera)
+
+
+@jax.jit
+def _finish_single_object(ranking: Ranking, zoomed_camera: Camera):
+    """Post-loop epilogue for single-object estimates, in ONE dispatch.
+
+    Slicing the batch ranking, uncropping the camera template and
+    rebuilding the result Camera eagerly costs ~10 remote round trips on
+    the tunneled TPU backend (~100 ms per estimate) — fuse them."""
+    rank0 = Ranking(*(leaf[0] for leaf in ranking))
+    return ranking_to_camera(rank0, zoomed_camera.uncrop()), rank0
+
+
 # ----------------------------------------------------------------------- base
 
 class PoseEstimator(abc.ABC):
@@ -272,20 +307,22 @@ class PoseEstimator(abc.ABC):
 
         return self.mesh if self.mesh is not None else contextlib.nullcontext()
 
-    def _constrain_hypotheses(self, tree):
-        """Force hypothesis-axis sharding on a tree of (N, ...) leaves built
-        INSIDE the jitted loop (freshly sampled cameras have no input
+    def _constrain_hypotheses(self, tree, n: int):
+        """Force hypothesis-axis sharding on the (n, ...) leaves of a tree
+        built INSIDE the jitted loop (freshly sampled cameras have no input
         sharding to propagate from, so without a constraint XLA may
-        replicate the decode). No-op without a mesh or when N doesn't divide
-        the mesh."""
-        if self.mesh is None:
+        replicate the decode). Only leaves whose leading dim is exactly the
+        hypothesis count are pinned — a divisibility heuristic could grab a
+        small non-hypothesis leaf and force a bogus layout (ADVICE r2).
+        No-op without a mesh or when n doesn't divide the mesh."""
+        if self.mesh is None or n % self.mesh.size != 0:
             return tree
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         ns = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
 
         def constrain(x):
-            if x.ndim >= 1 and x.shape[0] % self.mesh.size == 0:
+            if x.ndim >= 1 and x.shape[0] == n:
                 return jax.lax.with_sharding_constraint(x, ns)
             return x
 
@@ -319,8 +356,13 @@ class PoseEstimator(abc.ABC):
         hypothesis axis (reference: estimation.py:207-216). Pure (jit-safe)."""
         z_camera = camera.zoom(None, self.model.input_size,
                                self.model.camera_dist)
+        # apply_mask=True: the reference renders estimator hypotheses via
+        # render_latent_object's default, which hard-gates depth by
+        # mask>0.5 before denormalization (inference.py:122-128 ->
+        # models.py:478-484), then multiplies by the soft mask.
         y, z_lat, _ = self.model.decode_latent(z_obj, z_camera,
-                                               return_latent=True)
+                                               return_latent=True,
+                                               apply_mask=True)
         z_mask = y["mask"].reshape(-1, *y["mask"].shape[2:])
         z_mask_logits = y["mask_logits"].reshape(
             -1, *y["mask_logits"].shape[2:])
@@ -418,7 +460,7 @@ class MetropolisPoseEstimator(PoseEstimator):
         with self._mesh_ctx():
             ranking = self._run_jit(key, camera, z_obj, target_obs,
                                     camera_init.translation[:, -1].mean())
-        return ranking_to_camera(ranking, camera)
+        return _ranking_to_camera_jit(ranking, camera)
 
     def estimate_batch(self, z_objs, observations, key=None):
         """Run MH chains for MULTIPLE objects in one jitted loop (TPU-native
@@ -541,6 +583,12 @@ class CrossEntropyPoseEstimator(PoseEstimator):
         # Jitted multi-object loops keyed by (num_objects,).
         self._run_batch_cache: Dict[tuple, Any] = {}
 
+    def _elite_table(self):
+        """int(sched.get(step)) per iteration, computed with host-float
+        math (the reference's exact annealed counts, estimation.py:326,349)."""
+        return jnp.asarray([int(self.elite_sched.get(s))
+                            for s in range(self.num_iters)], dtype=jnp.int32)
+
     @classmethod
     def _camera_to_params(cls, camera: Camera):
         """(reference: estimation.py:476-481)"""
@@ -605,7 +653,7 @@ class CrossEntropyPoseEstimator(PoseEstimator):
                     pu.flip_camera(cameras, (0.0, 1.0, 0.0)),
                     pu.flip_camera(cameras, (1.0, 0.0, 0.0)),
                 ])
-            cameras = self._constrain_hypotheses(cameras)
+            cameras = self._constrain_hypotheses(cameras, cameras.length)
 
             z_target_latent = (self.model.compute_latent_code(
                 target_obs, cameras[0]) if use_latent else None)
@@ -613,7 +661,11 @@ class CrossEntropyPoseEstimator(PoseEstimator):
                                              z_target_latent)
 
             # Annealed elite count as per-sample weights (fixed shape).
-            num_elites = self.elite_sched.get(step)
+            # Precomputed with host math to match the reference's
+            # int(elite_sched.get(step)) exactly (estimation.py:349) --
+            # the raw f32 schedule admits one extra elite whenever the
+            # annealed count is fractional or near an integer.
+            num_elites = self._elite_table()[step]
             order = jnp.argsort(loss)
             rank_of = jnp.zeros_like(order).at[order].set(
                 jnp.arange(loss.shape[0]))
@@ -644,8 +696,8 @@ class CrossEntropyPoseEstimator(PoseEstimator):
         with self._mesh_ctx():
             ranking = self._run_jit(key, init_params, z_obj, target_obs,
                                     camera_init)
-        logger.info("best camera loss=%s", float(ranking.losses[0]))
-        return ranking_to_camera(ranking, camera_init)
+        logger.info("best camera loss=%s", ranking.losses[0])
+        return _ranking_to_camera_jit(ranking, camera_init)
 
     def estimate_batch(self, z_objs, observations, key=None):
         """Coarse-search MULTIPLE objects in one jitted CEM loop.
@@ -770,7 +822,7 @@ class CrossEntropyPoseEstimator(PoseEstimator):
                 cams = with_flips(cams, template)
             # Freshly sampled cameras have no input sharding to propagate
             # from; pin the hypothesis axis onto the mesh.
-            cams = self._constrain_hypotheses(cams)
+            cams = self._constrain_hypotheses(cams, cams.length)
 
             if self.loss_weights.get("latent", 0.0) > 0.0:
                 # The reference computes one target latent at the first
@@ -788,7 +840,11 @@ class CrossEntropyPoseEstimator(PoseEstimator):
                                              z_target_latent)
             loss_mat = loss.reshape(num_objects, n_total)
 
-            num_elites = self.elite_sched.get(step)
+            # Precomputed with host math to match the reference's
+            # int(elite_sched.get(step)) exactly (estimation.py:349) --
+            # the raw f32 schedule admits one extra elite whenever the
+            # annealed count is fractional or near an integer.
+            num_elites = self._elite_table()[step]
             rank_of = jnp.argsort(jnp.argsort(loss_mat, axis=1), axis=1)
             elite_w = (rank_of < num_elites).astype(jnp.float32)
 
@@ -884,12 +940,13 @@ class GradientPoseEstimator(PoseEstimator):
 
         ranking, stats = self._optimize_camera(z_obj, target_obs, camera)
         # _optimize_camera returns per-object rankings; single-object here.
-        ranking = Ranking(*(leaf[0] for leaf in ranking))
-        stats["loss_history"] = stats["loss_history"][:, 0]
-        logger.info("best camera step=%d loss=%s",
-                    int(ranking.steps[0]), float(ranking.losses[0]))
-        best = ranking_to_camera(ranking, camera.uncrop())
+        best, rank0 = _finish_single_object(ranking, camera)
+        # Deferred formatting: stringifying the arrays would force a
+        # host transfer even when the log level filters the record.
+        logger.info("best camera step=%s loss=%s", rank0.steps[0],
+                    rank0.losses[0])
         if self.track_stats:
+            stats["loss_history"] = stats["loss_history"][:, 0]
             return best, stats
         return best
 
@@ -991,11 +1048,14 @@ class GradientPoseEstimator(PoseEstimator):
             optim_loss = sum(weigh_losses(loss_dict, weights).values())
             rank_loss = sum(
                 weigh_losses(loss_dict, self.loss_weights).values())
-            # SUM (not mean) over hypotheses: each pose's gradient must not
-            # depend on how many other hypotheses share the batch (the
-            # reference backprops a per-optimizer sum, estimation.py:664),
-            # which keeps estimate() and estimate_batch() exactly consistent.
-            return optim_loss.sum(), (rank_loss, loss_dict)
+            # Per-OBJECT mean over hypotheses: the reference backprops
+            # optim_loss.mean() over its single object's hypothesis batch
+            # (estimation.py:614), so each pose's gradient carries a 1/N
+            # factor with N = that object's hypothesis count. Normalizing
+            # per object (not over the whole B*N batch) keeps estimate()
+            # and estimate_batch() exactly consistent. (Adam is nearly
+            # scale-invariant, but SGD/Adagrad are not.)
+            return optim_loss.sum() / views_per_obj, (rank_loss, loss_dict)
 
         grad_fn = jax.grad(render_loss, has_aux=True)
 
@@ -1030,15 +1090,11 @@ class GradientPoseEstimator(PoseEstimator):
                     - lr.reshape((-1,) + (1,) * (u.ndim - 1)) * u,
                     params, updates)
 
-                # Per-hypothesis ReduceLROnPlateau (rel threshold, mode=min).
-                improved = rank_loss < state["plateau_best"] * (
-                    1.0 - self.lr_reduce_threshold)
-                plateau_best = jnp.where(improved, rank_loss,
-                                         state["plateau_best"])
-                num_bad = jnp.where(improved, 0, state["num_bad"] + 1)
-                reduce_now = num_bad > self.lr_reduce_patience
-                lr = jnp.where(reduce_now, lr * self.lr_reduce_factor, lr)
-                num_bad = jnp.where(reduce_now, 0, num_bad)
+                lr, plateau_best, num_bad = plateau_lr_update(
+                    rank_loss, lr, state["plateau_best"], state["num_bad"],
+                    threshold=self.lr_reduce_threshold,
+                    patience=self.lr_reduce_patience,
+                    factor=self.lr_reduce_factor)
 
                 # Ranking stores the uncropped (full-frame) poses, tracked
                 # per object (reference: estimation.py:620-648).
@@ -1125,9 +1181,14 @@ class GradientPoseEstimator(PoseEstimator):
     def _render_zoomed(self, z_obj, camera: Camera):
         """Direct decode (camera already zoomed). Output (B, V, ...) view
         groups are flattened back to the object-major hypothesis axis
-        (reference: estimation.py:703-713)."""
+        (reference: estimation.py:703-713). Mirrors the reference's
+        gradient-loop render override: apply_mask=True hard-gates depth by
+        mask>0.5 inside interpret_logits (render_latent_object's default),
+        but — unlike the base estimator's render — the denormalized depth
+        is NOT multiplied by the soft mask (estimation.py:703-713)."""
         y, z_lat, _ = self.model.decode_latent(z_obj, camera,
-                                               return_latent=True)
+                                               return_latent=True,
+                                               apply_mask=True)
         z_mask = y["mask"].reshape(-1, *y["mask"].shape[2:])
         z_mask_logits = y["mask_logits"].reshape(
             -1, *y["mask_logits"].shape[2:])

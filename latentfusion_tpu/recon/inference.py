@@ -80,7 +80,9 @@ class LatentFusionModel:
         self.generator_params = generator_params
 
         self.camera_dist = camera_dist
-        self.input_size = sculptor.in_size
+        # Decode-only models (e.g. a distilled photographer) have no
+        # encoder; callers set input_size directly then.
+        self.input_size = sculptor.in_size if sculptor is not None else None
         self.device = device
 
         # Jitted kernels (cached per input shape / observation meta flags by
@@ -238,7 +240,10 @@ class LatentFusionModel:
         logits = self.generator.apply(self.generator_params, x)
         color_ibr, _, _, _ = ibr.warp_blend_logits(logits, image_reproj, 5)
         y_out["color"] = color_ibr
-        y_out = {k: v.squeeze(0) for k, v in y_out.items()}
+        # torch .squeeze(0) is a no-op on non-1 leading dims (the blended
+        # color is already view-folded); mirror that.
+        y_out = {k: (v.squeeze(0) if v.shape[0] == 1 else v)
+                 for k, v in y_out.items()}
         return y_out, z_out
 
     def _render_reprojections(self, z_obj, color_in, camera_in, camera_out,

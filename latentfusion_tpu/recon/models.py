@@ -293,19 +293,26 @@ class Photographer(nn.Module):
 
     def _compute_depth_weights(self, z_cam):
         """(reference: models.py:378-389)"""
+        from ..layout import channel_axis, channels_last
+
+        depth_axis = 1 if channels_last() else 2
         coords = utils.get_normalized_voxel_depth(z_cam)
-        z = jnp.concatenate((z_cam, coords), axis=1)
+        z = jnp.concatenate((z_cam, coords), axis=channel_axis())
         logits = self.occlusion_module(z)
-        logits_resized = resize_nearest(logits, z_cam.shape[-1])
-        weights = jax.nn.softmax(logits, axis=2)
-        weights_resized = jax.nn.softmax(logits_resized, axis=2)
+        logits_resized = resize_nearest(
+            logits, z_cam.shape[depth_axis])
+        weights = jax.nn.softmax(logits, axis=depth_axis)
+        weights_resized = jax.nn.softmax(logits_resized, axis=depth_axis)
         return weights, weights_resized
 
     @staticmethod
     def _depth_from_weight(depth_weights):
         """(reference: models.py:391-395)"""
+        from ..layout import channels_last
+
+        depth_axis = 1 if channels_last() else 2
         voxel_depth = utils.get_normalized_voxel_depth(depth_weights)
-        return (voxel_depth * depth_weights).sum(axis=2)
+        return (voxel_depth * depth_weights).sum(axis=depth_axis)
 
     def __call__(self, z_obj, camera: Camera, z_cam_mid=None, z_obj_mid=None,
                  return_latent: bool = False):
@@ -319,38 +326,64 @@ class Photographer(nn.Module):
         if self.skip_connections and (z_cam_mid is None or z_obj_mid is None):
             raise ValueError("intermediates required for skip connections.")
 
-        if self.skip_connections:
-            z_cam_mid = [object_to_camera(z_cam, camera, self.cube_size)
-                         for z_cam in z_cam_mid]
+        from ..layout import (activations_channels_last, channel_axis,
+                              decode_channels_last, from_channels_last,
+                              to_channels_last)
 
-        z = z_obj
-        for block_id, block in enumerate(self.object_blocks):
-            if self.skip_connections and block_id >= 1:
-                z = jnp.concatenate((z, z_obj_mid[-block_id - 1]), axis=1)
-            z = block(z)
+        # Run the decoder internals channels-last on TPU (layout.py): convs
+        # lower channels-minor and the sampler matmul contracts (N,K,J) x
+        # (N,J,C), so no physical NC*<->matmul transposes remain in the
+        # fwd/bwd hot path. Module boundaries stay in the reference's NC*.
+        cl = decode_channels_last()
+        with activations_channels_last(cl):
+            if cl:
+                z_obj = to_channels_last(z_obj)
+                if self.skip_connections:
+                    z_cam_mid = [to_channels_last(z) for z in z_cam_mid]
+                    z_obj_mid = [to_channels_last(z) for z in z_obj_mid]
+            ch = channel_axis()
 
-        z = object_to_camera(z, camera, self.cube_size)
-
-        for block_id, block in enumerate(self.camera_blocks):
             if self.skip_connections:
-                z = jnp.concatenate((z, z_cam_mid[-block_id - 1]), axis=1)
-            z = block(z)
+                z_cam_mid = [object_to_camera(z_cam, camera, self.cube_size)
+                             for z_cam in z_cam_mid]
 
-        if self.occlusion_config:
-            z_weights, depth_weights_resized = self._compute_depth_weights(z)
-            z_depth = self._depth_from_weight(z_weights)
-            z = z * depth_weights_resized
-        else:
-            z_depth = None
+            z = z_obj
+            for block_id, block in enumerate(self.object_blocks):
+                if self.skip_connections and block_id >= 1:
+                    z = jnp.concatenate((z, z_obj_mid[-block_id - 1]),
+                                        axis=ch)
+                z = block(z)
 
-        if self.projection_type == "sum":
-            z = z.sum(axis=2)
-        elif self.projection_type == "factor":
-            z = self.projection_block(z)
+            z = object_to_camera(z, camera, self.cube_size)
 
-        y = self.image_decoder(z)
-        outputs = [ob(y) for ob in self.output_blocks]
-        y = jnp.concatenate(outputs, axis=1)
+            for block_id, block in enumerate(self.camera_blocks):
+                if self.skip_connections:
+                    z = jnp.concatenate((z, z_cam_mid[-block_id - 1]),
+                                        axis=ch)
+                z = block(z)
+
+            if self.occlusion_config:
+                z_weights, depth_weights_resized = (
+                    self._compute_depth_weights(z))
+                z_depth = self._depth_from_weight(z_weights)
+                z = z * depth_weights_resized
+            else:
+                z_depth = None
+
+            if self.projection_type == "sum":
+                z = z.sum(axis=1 if cl else 2)
+            elif self.projection_type == "factor":
+                z = self.projection_block(z)
+
+            y = self.image_decoder(z)
+            outputs = [ob(y) for ob in self.output_blocks]
+            y = jnp.concatenate(outputs, axis=ch)
+
+        if cl:
+            y = from_channels_last(y)
+            z = from_channels_last(z)
+            if z_depth is not None:
+                z_depth = from_channels_last(z_depth)
 
         if return_latent:
             return y, z, z_depth

@@ -52,7 +52,14 @@ def get_normalized_pixel_coords(tensor):
 
 def get_normalized_voxel_depth(tensor):
     """(B, C, D, H, W) -> (B, 1, D, H, W) z coordinate in [-1, 1]
-    (reference: recon/utils.py:59-64)."""
+    (reference: recon/utils.py:59-64). Under the channels-last layout
+    policy: (B, D, H, W, C) -> (B, D, H, W, 1)."""
+    from ..layout import channels_last
+
+    if channels_last():
+        b, d, h, w, _ = tensor.shape
+        z = jnp.linspace(-1.0, 1.0, d).reshape(1, d, 1, 1, 1)
+        return jnp.broadcast_to(z, (b, d, h, w, 1))
     b, _, d, h, w = tensor.shape
     z = jnp.linspace(-1.0, 1.0, d).reshape(1, 1, d, 1, 1)
     return jnp.broadcast_to(z, (b, 1, d, h, w))

@@ -381,9 +381,12 @@ def make_recon_train_step(sculptor, fuser, photographer, g_optimizer,
 
             zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
             probe_mb = jax.tree_util.tree_map(lambda x: x[0], mb_batch)
-            _, (probe_dict, _) = forward_and_g_loss(
-                state.params, probe_mb, keys[0], input_noise_weight,
-                state.d_params)
+            # Discover the loss-dict keys abstractly — tracing the full
+            # forward just for its output structure roughly doubled trace
+            # time (ADVICE r2); eval_shape never builds the graph.
+            _, (probe_dict, _) = jax.eval_shape(
+                forward_and_g_loss, state.params, probe_mb, keys[0],
+                input_noise_weight, state.d_params)
             zero_dict = {kk: jnp.zeros(()) for kk in probe_dict}
             zero_d = (jax.tree_util.tree_map(jnp.zeros_like, state.d_params),
                       jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))

@@ -17,6 +17,8 @@ depend on them):
 """
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from .camera import Camera
@@ -25,6 +27,10 @@ from .ops.grid_sample import grid_sample_3d
 
 
 _VOLUME_SAMPLE_BACKEND = "auto"  # "auto" | "gather" | "matmul" | "pallas"
+
+
+def get_volume_sample_backend() -> str:
+    return _VOLUME_SAMPLE_BACKEND
 
 
 def set_volume_sample_backend(name: str) -> None:
@@ -39,25 +45,39 @@ def set_volume_sample_backend(name: str) -> None:
 
 def _volume_sample(volume, grid, padding_mode):
     """Dispatch between the MXU formulations (see ops/gather_matmul.py and
-    ops/pallas_volume.py for why gathers lose on TPU)."""
+    ops/pallas_volume.py for why gathers lose on TPU).
+
+    ``volume`` follows the active activation layout (layout.py): torch
+    (N, C, D, H, W), or (N, D, H, W, C) channels-last. The matmul backend
+    contracts natively in either layout; gather/pallas transpose at the
+    boundary (they only run for volumes too large for the matmul path).
+    """
     import jax
 
-    d, h, w = volume.shape[-3:]
+    from .layout import channels_last, from_channels_last, to_channels_last
+
+    cl = channels_last()
+    spatial = volume.shape[1:4] if cl else volume.shape[-3:]
     backend = _VOLUME_SAMPLE_BACKEND
     if backend == "auto":
-        if d * h * w <= MAX_MATMUL_VOXELS:
+        if math.prod(spatial) <= MAX_MATMUL_VOXELS:
             backend = "matmul"
         elif jax.default_backend() == "tpu":
             backend = "pallas"
         else:
             backend = "gather"
     if backend == "matmul":
-        return grid_sample_3d_matmul(volume, grid, padding_mode=padding_mode)
+        return grid_sample_3d_matmul(volume, grid, padding_mode=padding_mode,
+                                     channels_last=cl)
+    if cl:
+        volume = from_channels_last(volume)
     if backend == "pallas":
         from .ops.pallas_volume import grid_sample_3d_pallas
 
-        return grid_sample_3d_pallas(volume, grid, padding_mode=padding_mode)
-    return grid_sample_3d(volume, grid, padding_mode=padding_mode)
+        out = grid_sample_3d_pallas(volume, grid, padding_mode=padding_mode)
+    else:
+        out = grid_sample_3d(volume, grid, padding_mode=padding_mode)
+    return to_channels_last(out) if cl else out
 
 
 def get_obj_coords(cube_size: float, size: int) -> jnp.ndarray:
@@ -76,12 +96,16 @@ def camera_to_object(cam_volume: jnp.ndarray, camera: Camera,
     (reference: geometry.py:614-657).
 
     Args:
-        cam_volume: (B, C, D, H, W) camera-space features (D == H == W).
+        cam_volume: (B, C, D, H, W) camera-space features (D == H == W);
+            (B, D, H, W, C) under the channels-last layout policy.
         camera: batch-B Camera.
     Returns:
-        (B, C, S, S, S) object-space volume, S = cam_volume spatial size.
+        (B, C, S, S, S) object-space volume, S = cam_volume spatial size
+        (same layout as the input).
     """
-    size = cam_volume.shape[-1]
+    from .layout import channels_last
+
+    size = cam_volume.shape[1 if channels_last() else -1]
     b = cam_volume.shape[0]
     obj_coords = get_obj_coords(cube_size, size)  # (S^3, 4)
     obj_coords = jnp.broadcast_to(obj_coords.T[None], (b, 4, obj_coords.shape[0]))
@@ -115,12 +139,15 @@ def object_to_camera(obj_volume: jnp.ndarray, camera: Camera,
     (reference: geometry.py:660-690).
 
     Args:
-        obj_volume: (B or 1, C, S, S, S) object-space features; broadcast to
-            the camera batch if B == 1.
+        obj_volume: (B or 1, C, S, S, S) object-space features (channels
+            last under the layout policy); broadcast to the camera batch if
+            B == 1.
     Returns:
-        (len(camera), C, S, S, S) camera-space volume.
+        (len(camera), C, S, S, S) camera-space volume (same layout).
     """
-    size = obj_volume.shape[-1]
+    from .layout import channels_last
+
+    size = obj_volume.shape[1 if channels_last() else -1]
     x_cam, y_cam, z_cam = camera.camera_coords(size)
     cam_coords = jnp.stack(
         (x_cam, y_cam, z_cam, jnp.ones_like(x_cam)), axis=-1

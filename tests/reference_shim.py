@@ -150,6 +150,25 @@ def _make_plyfile():
     return {"plyfile": mod}
 
 
+def _patch_torch_compat():
+    """The reference targets the torch<=2.3 API; newer torch removed the
+    ``verbose`` kwarg from ReduceLROnPlateau, which the reference's
+    GradientPoseEstimator passes (estimation.py:588-594). Re-accept and
+    drop it so the reference's own code runs unmodified."""
+    import inspect
+
+    import torch
+
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau
+    if "verbose" not in inspect.signature(sched.__init__).parameters:
+        orig_init = sched.__init__
+
+        def __init__(self, *args, verbose=False, **kwargs):
+            orig_init(self, *args, **kwargs)
+
+        sched.__init__ = __init__
+
+
 def install_stubs():
     builders = {
         "structlog": _make_structlog,
@@ -158,6 +177,7 @@ def install_stubs():
         "skimage": _make_skimage,
         "plyfile": _make_plyfile,
     }
+    _patch_torch_compat()
     for name, builder in builders.items():
         if name in sys.modules:
             continue

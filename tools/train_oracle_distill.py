@@ -1,0 +1,306 @@
+#!/usr/bin/env python
+"""Oracle-distillation control experiment (VERDICT r2 weak #3 / next #3).
+
+Question to settle: is the trained-demo pose-accuracy floor (~0.3 rad
+orientation attractor, artifacts/cube_demo*/pose_eval.json) a property of
+the *decoder/estimator*, or of the view-reconstruction training signal at
+small scale?
+
+Control: train the mid-size photographer to regress the ANALYTIC ellipsoid
+oracle's depth/mask renders from random cameras — dense supervision from a
+pose-exact teacher, no multi-view reconstruction bottleneck, no data
+scarcity (every step draws fresh cameras). The latent object is a free
+learnable code (no encoder in the loop). Then run the full CEM + gradient
+pose pipeline through the distilled decoder and the ADD-S 0.1d gate
+(the same gate the oracle itself passes, tests/test_bop_accuracy.py).
+
+- Gate passes  -> the pipeline's first ADD-S 0.1d = 1.0 with LEARNED
+  weights; the trained-demo floor is a training-signal/scale property.
+- Gate fails   -> the decoder family has a real sharpness defect that
+  reference-scale training would not fix; the measured
+  orientation-sharpness curve localizes it.
+
+Mirrors the reference's synthetic-evaluation rig shape
+(reference: observation.py:32-68) with the analytic oracle standing in for
+pyrender.
+
+Run:  python tools/train_oracle_distill.py --steps 30000 \
+          --out artifacts/oracle_distill
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+INPUT_SIZE = 128
+CAMERA_DIST = 1.5
+AXES = (0.15, 0.25, 0.35)
+DIAMETER = 2 * max(AXES)
+
+# Mid-size flagship-family decoder (same as the cube demo's).
+PHOTOGRAPHER_CAMERA_CONFIG = (128, 128)
+PHOTOGRAPHER_IMAGE_CONFIG = (
+    (128, "D", 256, "D", 256),
+    (256, "U", 256, "U", 256, "U", 128, "U", 96, "U", 64, "U", 48),
+)
+LATENT_CHANNELS = 128
+LATENT_SIZE = INPUT_SIZE // 16
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=30000)
+    parser.add_argument("--views", type=int, default=16,
+                        help="fresh random cameras per step")
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--out", type=Path,
+                        default=Path("artifacts/oracle_distill"))
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--eval-targets", type=int, default=8)
+    parser.add_argument("--skip-train", action="store_true",
+                        help="load <out>/distilled.npz and only eval")
+    parser.add_argument("--sharpness-probe", action="store_true",
+                        help="also record the loss-vs-angle-offset curve")
+    args = parser.parse_args()
+
+    import numpy as np
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    import jax.numpy as jnp
+    import optax
+
+    from latentfusion_tpu import dtypes, testing, three, zoo
+    from latentfusion_tpu.pose import estimation, metrics
+    from latentfusion_tpu.pose import utils as pu
+    from latentfusion_tpu.recon import models
+    from latentfusion_tpu.recon.inference import LatentFusionModel
+    from latentfusion_tpu.three import quaternion as quat
+
+    dtypes.set_compute_dtype("bfloat16")
+    args.out.mkdir(parents=True, exist_ok=True)
+
+    photographer = models.Photographer(
+        in_size=LATENT_SIZE,
+        image_config=PHOTOGRAPHER_IMAGE_CONFIG,
+        camera_config=PHOTOGRAPHER_CAMERA_CONFIG,
+        object_config=None, projection_type="factor",
+        predict_color=False, predict_depth=True, predict_mask=True,
+        cube_size=1.0, scale_mode="nearest")
+
+    oracle = testing.EllipsoidOracleModel(input_size=INPUT_SIZE,
+                                          camera_dist=CAMERA_DIST, axes=AXES)
+    key = jax.random.PRNGKey(0)
+
+    def random_zoomed_cameras(key, n):
+        """Fresh hypothesis-like cameras: random orientation, jittered
+        translation, zoomed to the canonical frame (what refinement
+        explores)."""
+        from latentfusion_tpu.camera import Camera
+
+        k1, k2 = jax.random.split(key)
+        quats = quat.random(k1, n)
+        t_noise = jax.random.normal(k2, (n, 3)) * jnp.asarray(
+            [0.03, 0.03, 0.08])
+        trans = jnp.asarray([0.0, 0.0, CAMERA_DIST]) + t_noise
+        ext = three.to_extrinsic_matrix(trans, quats)
+        template = zoo.canonical_camera(1, INPUT_SIZE,
+                                        camera_dist=CAMERA_DIST)
+        cam = Camera(jnp.broadcast_to(
+            template.intrinsic, (n, *template.intrinsic.shape[1:])), ext,
+                     z_span=template.z_span, width=template.width,
+                     height=template.height)
+        return cam.zoom(None, INPUT_SIZE, CAMERA_DIST)
+
+    def distill_loss(train_params, key):
+        cam = random_zoomed_cameras(key, args.views)
+        y_o, _, _ = oracle.decode_latent(None, cam)
+        o_depth = y_o["depth"][0]
+        o_mask = (y_o["mask"][0] > 0.5).astype(jnp.float32)
+
+        z = jnp.broadcast_to(
+            train_params["z_obj"],
+            (1, args.views, *train_params["z_obj"].shape[2:]))
+        z = z.reshape(args.views, *train_params["z_obj"].shape[2:])
+        y_logits, _, _ = photographer.apply(train_params["photographer"], z,
+                                            cam)
+        y = photographer.interpret_logits(y_logits)
+        depth_l1 = jnp.abs(y["depth"] - o_depth).mean()
+        mask_bce = estimation._bce_with_logits(y["mask_logits"],
+                                               o_mask).mean()
+        loss = 25.0 * depth_l1 + 25.0 * mask_bce
+        return loss, {"depth_l1": depth_l1, "mask_bce": mask_bce}
+
+    history = []
+    if not args.skip_train:
+        cam0 = random_zoomed_cameras(jax.random.PRNGKey(1), args.views)
+        z0 = jnp.zeros((args.views, LATENT_CHANNELS, LATENT_SIZE,
+                        LATENT_SIZE, LATENT_SIZE))
+        ph_params = jax.jit(photographer.init)(key, z0, cam0)
+        train_params = {
+            "photographer": ph_params,
+            "z_obj": jax.random.normal(
+                jax.random.PRNGKey(2),
+                (1, 1, LATENT_CHANNELS, LATENT_SIZE, LATENT_SIZE,
+                 LATENT_SIZE)) * 0.1,
+        }
+        n_params = sum(int(np.prod(p.shape)) for p in
+                       jax.tree_util.tree_leaves(train_params))
+        print(f"# {n_params / 1e6:.1f}M trainable params", file=sys.stderr)
+
+        schedule = optax.cosine_decay_schedule(args.lr, args.steps,
+                                               alpha=0.01)
+        opt = optax.adam(schedule, b1=0.9, b2=0.99)
+        opt_state = opt.init(train_params)
+
+        @jax.jit
+        def step(train_params, opt_state, key):
+            (loss, aux), grads = jax.value_and_grad(
+                distill_loss, has_aux=True)(train_params, key)
+            updates, opt_state = opt.update(grads, opt_state, train_params)
+            train_params = optax.apply_updates(train_params, updates)
+            return train_params, opt_state, loss, aux
+
+        print("# compiling distillation step...", file=sys.stderr)
+        t0 = time.time()
+        train_params, opt_state, loss, aux = step(train_params, opt_state,
+                                                  key)
+        jax.block_until_ready(loss)
+        print(f"# compile+first: {time.time() - t0:.0f}s "
+              f"loss={float(loss):.3f}", file=sys.stderr)
+
+        t0 = time.time()
+        for i in range(1, args.steps):
+            key, sub = jax.random.split(key)
+            train_params, opt_state, loss, aux = step(train_params,
+                                                      opt_state, sub)
+            if i % 500 == 0 or i == args.steps - 1:
+                row = {"step": i, "loss": float(loss),
+                       "depth_l1": float(aux["depth_l1"]),
+                       "mask_bce": float(aux["mask_bce"])}
+                history.append(row)
+                print(f"step {i}: loss={row['loss']:.4f} "
+                      f"d={row['depth_l1']:.4f} m={row['mask_bce']:.4f} "
+                      f"({i / (time.time() - t0):.1f} steps/s)",
+                      file=sys.stderr, flush=True)
+
+        (args.out / "history.json").write_text(json.dumps(history))
+        host = jax.device_get(train_params)
+        flat = {"/".join(map(str, path)): np.asarray(leaf)
+                for path, leaf in
+                jax.tree_util.tree_flatten_with_path(host)[0]}
+        np.savez(args.out / "distilled.npz", **{
+            str(i): v for i, v in enumerate(flat.values())})
+        (args.out / "distilled_keys.json").write_text(
+            json.dumps(list(flat.keys())))
+    else:
+        cam0 = random_zoomed_cameras(jax.random.PRNGKey(1), 2)
+        z0 = jnp.zeros((2, LATENT_CHANNELS, LATENT_SIZE, LATENT_SIZE,
+                        LATENT_SIZE))
+        ph_params = jax.jit(photographer.init)(key, z0, cam0)
+        template = {
+            "photographer": ph_params,
+            "z_obj": jnp.zeros((1, 1, LATENT_CHANNELS, LATENT_SIZE,
+                                LATENT_SIZE, LATENT_SIZE)),
+        }
+        data = np.load(args.out / "distilled.npz")
+        leaves = [data[str(i)] for i in range(len(data.files))]
+        train_params = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(template),
+            [jnp.asarray(l) for l in leaves])
+
+    # --------------------------------------------------------------- eval
+    model = LatentFusionModel(
+        sculptor=None, sculptor_params={}, fuser=None, fuser_params={},
+        photographer=photographer,
+        photographer_params=train_params["photographer"],
+        camera_dist=CAMERA_DIST)
+    model.input_size = INPUT_SIZE
+    z_obj = train_params["z_obj"]
+
+    coarse = estimation.CrossEntropyPoseEstimator(
+        model=model, ranking_size=8, loss_weights={"depth": 1.0},
+        num_samples=64, num_iters=10, num_elites=24, num_gmm_components=4,
+        learning_rate=0.75, sample_flipped=True)
+    fine = estimation.GradientPoseEstimator(
+        model=model, ranking_size=8,
+        loss_weights={"depth": 1.0, "ov_depth": 0.3, "mask": 1.0},
+        learning_rate=0.01, num_samples=8, num_iters=100,
+        converge_threshold=1e-6, converge_patience=20, optimizer="adam")
+
+    # Ellipsoid surface point cloud for ADD-S (sunflower directions).
+    from latentfusion_tpu.three import orientation
+
+    dirs = np.asarray(orientation.evenly_distributed_points(512))
+    points = jnp.asarray(dirs * np.asarray(AXES))
+
+    rows = []
+    ek = jax.random.PRNGKey(55)
+    for t in range(args.eval_targets):
+        ek, k1, k2 = jax.random.split(ek, 3)
+        gt_cam = testing.make_camera(
+            1, z=CAMERA_DIST, f=615.0, width=640, height=480,
+            quats=quat.random(k1, 1))
+        target = jax.jit(oracle.make_observation)(gt_cam)
+
+        coarse_cams = coarse.estimate(z_obj, target, key=k2)
+        best = fine.estimate(z_obj, target, camera=coarse_cams[:8])
+
+        def add_s(c):
+            return float(metrics.camera_metrics(
+                gt_cam, c, points, scale_to_meters=1.0)["add_s"])
+
+        row = {"target": t,
+               "coarse_add_s": add_s(coarse_cams[0]),
+               "refined_add_s": add_s(best[0]),
+               "add_s_01d": bool(add_s(best[0]) < 0.1 * DIAMETER)}
+        rows.append(row)
+        print(f"target {t}: coarse add_s={row['coarse_add_s']:.4f} "
+              f"refined={row['refined_add_s']:.4f} "
+              f"0.1d={row['add_s_01d']}", flush=True)
+
+    acc = float(np.mean([r["add_s_01d"] for r in rows]))
+
+    summary = {"targets": rows, "add_s_0.1d": acc,
+               "diameter": DIAMETER, "threshold": 0.1 * DIAMETER,
+               "history": history[-5:],
+               "trained_with": "oracle distillation (dense depth/mask "
+                               "regression from random cameras; learned "
+                               "free latent; no encoder)"}
+
+    if args.sharpness_probe:
+        # Loss landscape vs orientation offset at a fixed target: how
+        # sharp is the distilled decoder's pose objective?
+        probe_cam = testing.make_camera(1, z=CAMERA_DIST, f=615.0,
+                                        width=640, height=480)
+        probe_target = jax.jit(oracle.make_observation)(probe_cam)
+        angles = np.linspace(0.0, 0.6, 13)
+        curve = []
+        for ang in angles:
+            axis = np.asarray([0.0, 1.0, 0.0])
+            q = np.concatenate([[np.cos(ang / 2)],
+                                np.sin(ang / 2) * axis]).astype(np.float32)
+            cam = testing.make_camera(1, z=CAMERA_DIST, f=615.0, width=640,
+                                      height=480,
+                                      quats=jnp.asarray(q)[None])
+            loss, _ = fine._score_hypotheses(z_obj, probe_target, cam)
+            curve.append({"angle_rad": float(ang),
+                          "loss": float(loss[0])})
+            print(f"sharpness angle={ang:.3f} loss={float(loss[0]):.5f}",
+                  flush=True)
+        summary["sharpness_curve"] = curve
+
+    (args.out / "pose_eval.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps({"add_s_0.1d": acc,
+                      "mean_refined_add_s": float(np.mean(
+                          [r["refined_add_s"] for r in rows]))}))
+
+
+if __name__ == "__main__":
+    main()
