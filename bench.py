@@ -148,7 +148,7 @@ def main():
                         help="skip the compiled-executable FLOPs probes "
                              "(vs_baseline and %%-peak become null)")
     parser.add_argument("--volume-backend", default=None,
-                        choices=["auto", "gather", "matmul", "pallas"],
+                        choices=["auto", "gather", "matmul", "pallas", "taps"],
                         help="3D warp backend A/B (transforms."
                              "set_volume_sample_backend)")
     parser.add_argument("--mode", default="gradient",

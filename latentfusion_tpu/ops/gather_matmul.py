@@ -77,6 +77,56 @@ def _sample_matmul_impl(input, grid, dims, padding_mode, compute_dtype):
                       preferred_element_type=jnp.float32)
 
 
+def grid_sample_3d_taps(input, grid, padding_mode: str = "border"):
+    """Channels-last 8-corner tap gather (trilinear, torch
+    align_corners=False semantics).
+
+    input: (N, D, H, W, C); grid: (N, Do, Ho, Wo, 3) with (x, y, z).
+
+    Each tap reads a C-contiguous row of the flattened (N, J, C) volume
+    via ``take_along_axis`` — on TPU these vectorize over the lane (C)
+    dimension, unlike the NCDHW gather whose unit-sized minor dim lowers
+    to scalar loads (ops/grid_sample.py). FLOPs are ~8 taps/output instead
+    of the dense (N,K,J) one-hot matmul; d/dgrid flows through the tap
+    weights. d/dvol is a scatter — dead in pose refinement (the sampled
+    volume is constant w.r.t. camera params), so this backend suits the
+    refinement loop; prefer the matmul when vol gradients are needed.
+    """
+    if padding_mode != "border":
+        raise NotImplementedError(
+            "taps backend implements border padding (the volume "
+            "transforms' mode); use gather/matmul for zeros")
+    n, d, h, w, c = input.shape
+    out_spatial = grid.shape[1:4]
+    flat = input.reshape(n, -1, c)
+    g = grid.reshape(n, -1, 3).astype(jnp.float32)
+    x = jnp.clip(_unnormalize(g[..., 0], w), 0.0, w - 1)
+    y = jnp.clip(_unnormalize(g[..., 1], h), 0.0, h - 1)
+    z = jnp.clip(_unnormalize(g[..., 2], d), 0.0, d - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    fx = x - x0
+    fy = y - y0
+    fz = z - z0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+    out = jnp.zeros((n, g.shape[1], c), dtype=jnp.float32)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi = jnp.minimum(x0i + dx, w - 1)
+                yi = jnp.minimum(y0i + dy, h - 1)
+                zi = jnp.minimum(z0i + dz, d - 1)
+                j = (zi * h + yi) * w + xi
+                wgt = ((fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+                       * (fz if dz else 1 - fz))
+                taps = jnp.take_along_axis(flat, j[..., None], axis=1)
+                out = out + wgt[..., None] * taps.astype(jnp.float32)
+    return out.reshape(n, *out_spatial, c)
+
+
 def grid_sample_3d_matmul(input, grid, padding_mode: str = "zeros",
                           compute_dtype=None, channels_last: bool = False):
     """Drop-in for ``grid_sample_3d(mode='bilinear')`` on small volumes.

@@ -138,22 +138,38 @@ class Sculptor(nn.Module):
 
         Returns (z_obj, z_cam_mid, z_obj_mid) — reference: models.py:198-224.
         """
-        z = self.image_encoder(x)
-        z = self.projection_block(z)
+        from ..layout import (activations_channels_last,
+                              decode_channels_last, from_channels_last,
+                              to_channels_last)
 
-        z_cam_mid = []
-        z_obj_mid = []
-        for block in self.camera_blocks:
-            z = block(z)
-            z_cam_mid.append(camera_to_object(z, camera, self.cube_size))
+        # Same channels-last internals as the Photographer (layout.py):
+        # the encoder's conv stacks and per-block volume unprojections are
+        # the training step's hot path. Boundaries stay NC*.
+        cl = decode_channels_last()
+        with activations_channels_last(cl):
+            if cl:
+                x = to_channels_last(x)
+            z = self.image_encoder(x)
+            z = self.projection_block(z)
 
-        z = camera_to_object(z, camera, self.cube_size)
+            z_cam_mid = []
+            z_obj_mid = []
+            for block in self.camera_blocks:
+                z = block(z)
+                z_cam_mid.append(camera_to_object(z, camera, self.cube_size))
 
-        for block in self.object_blocks:
-            z = block(z)
-            z_obj_mid.append(z)
+            z = camera_to_object(z, camera, self.cube_size)
 
-        z = self.output_block(z)
+            for block in self.object_blocks:
+                z = block(z)
+                z_obj_mid.append(z)
+
+            z = self.output_block(z)
+
+        if cl:
+            z = from_channels_last(z)
+            z_cam_mid = [from_channels_last(v) for v in z_cam_mid]
+            z_obj_mid = [from_channels_last(v) for v in z_obj_mid]
         return z, z_cam_mid, z_obj_mid
 
 

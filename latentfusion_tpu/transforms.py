@@ -36,9 +36,11 @@ def get_volume_sample_backend() -> str:
 def set_volume_sample_backend(name: str) -> None:
     """Select the 3D warp backend. 'auto' = one-hot MXU matmul for small
     latent volumes, tiled Pallas kernel for larger ones on TPU (gather
-    elsewhere — the Pallas interpret path is slow off-TPU)."""
+    elsewhere — the Pallas interpret path is slow off-TPU). 'taps' =
+    channels-last 8-corner vector gather (border padding; d/dvol is a
+    scatter — use for refinement-style d/dgrid-only workloads)."""
     global _VOLUME_SAMPLE_BACKEND
-    if name not in ("auto", "gather", "matmul", "pallas"):
+    if name not in ("auto", "gather", "matmul", "pallas", "taps"):
         raise ValueError(name)
     _VOLUME_SAMPLE_BACKEND = name
 
@@ -69,6 +71,12 @@ def _volume_sample(volume, grid, padding_mode):
     if backend == "matmul":
         return grid_sample_3d_matmul(volume, grid, padding_mode=padding_mode,
                                      channels_last=cl)
+    if backend == "taps":
+        from .ops.gather_matmul import grid_sample_3d_taps
+
+        vol_cl = volume if cl else to_channels_last(volume)
+        out = grid_sample_3d_taps(vol_cl, grid, padding_mode=padding_mode)
+        return out if cl else from_channels_last(out)
     if cl:
         volume = from_channels_last(volume)
     if backend == "pallas":

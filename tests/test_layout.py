@@ -15,7 +15,7 @@ from latentfusion_tpu import layout
 from latentfusion_tpu.modules import unet
 from latentfusion_tpu.ops.gather_matmul import grid_sample_3d_matmul
 
-from test_recon import make_cameras, tiny_photographer
+from test_recon import make_cameras, tiny_photographer, tiny_sculptor
 
 
 @pytest.fixture
@@ -83,6 +83,21 @@ class TestPhotographerLayouts:
         _assert_close(gq_t, gq_c, atol=2e-4)
 
 
+class TestSculptorLayouts:
+    def test_encode_matches(self, rng, restore_layout):
+        sc = tiny_sculptor()
+        x = jnp.asarray(rng.randn(4, 4, 16, 16).astype(np.float32))
+        cam = make_cameras(4, key=jax.random.PRNGKey(2))
+        params = sc.init(jax.random.PRNGKey(1), x, cam)
+        layout.set_decode_layout("torch")
+        z0, cm0, om0 = sc.apply(params, x, cam)
+        layout.set_decode_layout("channels_last")
+        z1, cm1, om1 = sc.apply(params, x, cam)
+        _assert_close(z0, z1)
+        for a, b in zip(cm0 + om0, cm1 + om1):
+            _assert_close(a, b)
+
+
 class TestPrimitivesChannelsLast:
     def test_matmul_sampler_channels_last(self, rng):
         vol = jnp.asarray(rng.randn(2, 3, 5, 5, 5).astype(np.float32))
@@ -93,6 +108,27 @@ class TestPrimitivesChannelsLast:
             vol.transpose(0, 2, 3, 4, 1), grid, padding_mode="border",
             channels_last=True)
         _assert_close(ref, out.transpose(0, 4, 1, 2, 3), atol=1e-5)
+
+    def test_taps_backend_matches_matmul(self, rng):
+        """Channels-last 8-corner tap gather == one-hot matmul sampler
+        (values AND d/dgrid; border padding)."""
+        from latentfusion_tpu.ops.gather_matmul import grid_sample_3d_taps
+
+        vol = jnp.asarray(rng.randn(2, 3, 6, 6, 6).astype(np.float32))
+        grid = jnp.asarray(
+            (rng.rand(2, 4, 4, 4, 3) * 2.4 - 1.2).astype(np.float32))
+        ref = grid_sample_3d_matmul(vol, grid, padding_mode="border",
+                                    compute_dtype=jnp.float32)
+        vol_cl = vol.transpose(0, 2, 3, 4, 1)
+        out = grid_sample_3d_taps(vol_cl, grid)
+        _assert_close(ref, out.transpose(0, 4, 1, 2, 3), atol=1e-5)
+
+        g1 = jax.grad(lambda g: (grid_sample_3d_matmul(
+            vol, g, padding_mode="border",
+            compute_dtype=jnp.float32) ** 2).sum())(grid)
+        g2 = jax.grad(lambda g: (grid_sample_3d_taps(
+            vol_cl, g) ** 2).sum())(grid)
+        _assert_close(g1, g2, atol=1e-4)
 
     def test_unet3d_channels_last(self, rng, restore_layout):
         """U-Net skip concats under the channels-last policy."""

@@ -44,9 +44,52 @@ def main():
     grid0 = jax.random.uniform(jax.random.PRNGKey(1), (n, s, s, s, 3),
                                minval=-1.0, maxval=1.0)
 
+    def matmul_cl(v, g):
+        """Channels-last one-hot matmul (what the decode uses under the
+        layout policy): v arrives NCDHW, transposed once outside timing
+        relevance (the loop hoists it)."""
+        vcl = v.transpose(0, 2, 3, 4, 1)
+        out = grid_sample_3d_matmul(vcl, g, padding_mode="border",
+                                    channels_last=True)
+        return out.transpose(0, 4, 1, 2, 3)
+
+    def gather_cl(v, g):
+        """Channels-last 8-corner gather: each tap pulls a C-contiguous
+        row from the flattened (N, J, C) volume (take_along_axis), so the
+        gathers vectorize over lanes instead of the scalar loads the
+        NCDHW gather lowers to. d/dgrid flows through the 8 tap weights
+        (cheap); d/dvol would be a scatter (dead in pose refinement)."""
+        from latentfusion_tpu.ops.grid_sample import _unnormalize
+
+        N, C, D, H, W = v.shape
+        flat = v.transpose(0, 2, 3, 4, 1).reshape(N, -1, C)
+        gg = g.reshape(N, -1, 3)
+        x = jnp.clip(_unnormalize(gg[..., 0], W), 0.0, W - 1)
+        y = jnp.clip(_unnormalize(gg[..., 1], H), 0.0, H - 1)
+        z = jnp.clip(_unnormalize(gg[..., 2], D), 0.0, D - 1)
+        x0 = jnp.floor(x); y0 = jnp.floor(y); z0 = jnp.floor(z)
+        fx = x - x0; fy = y - y0; fz = z - z0
+        x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
+        z0i = z0.astype(jnp.int32)
+        out = 0.0
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    xi = jnp.minimum(x0i + dx, W - 1)
+                    yi = jnp.minimum(y0i + dy, H - 1)
+                    zi = jnp.minimum(z0i + dz, D - 1)
+                    j = (zi * H + yi) * W + xi
+                    w = ((fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+                         * (fz if dz else 1 - fz))
+                    taps = jnp.take_along_axis(flat, j[..., None], axis=1)
+                    out = out + w[..., None] * taps
+        return out.reshape(N, *g.shape[1:4], C).transpose(0, 4, 1, 2, 3)
+
     fns = {
         "matmul": lambda v, g: grid_sample_3d_matmul(v, g,
                                                      padding_mode="border"),
+        "matmul_cl": matmul_cl,
+        "gather_cl": gather_cl,
         "pallas": lambda v, g: grid_sample_3d_pallas(v, g, "border"),
         "gather": lambda v, g: grid_sample_3d(v, g, padding_mode="border"),
     }

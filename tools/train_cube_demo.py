@@ -246,7 +246,7 @@ def main():
         learning_rate=0.75, sample_flipped=True)
     fine = estimation.GradientPoseEstimator(
         model=model, ranking_size=8,
-        loss_weights={"depth": 1.0, "ov_depth": 0.3, "mask": 1.0},
+        loss_weights={"depth": 1.0, "ov_depth": 0.3},  # adam_quick weights (mask=0: the reference ships no mask-weighted config; the mask term through the border-padded uncrop is pathological)
         learning_rate=0.01, num_samples=8, num_iters=100,
         converge_threshold=1e-6, converge_patience=20, optimizer="adam")
 

@@ -62,6 +62,10 @@ def main():
     parser.add_argument("--eval-targets", type=int, default=8)
     parser.add_argument("--skip-train", action="store_true",
                         help="load <out>/distilled.npz and only eval")
+    parser.add_argument("--frame-loss-weight", type=float, default=2.0,
+                        help="weight of the full-frame estimator-objective "
+                             "terms (0 disables; 10 measured to trade away "
+                             "orientation sharpness)")
     parser.add_argument("--sharpness-probe", action="store_true",
                         help="also record the loss-vs-angle-offset curve")
     args = parser.parse_args()
@@ -98,10 +102,9 @@ def main():
                                           camera_dist=CAMERA_DIST, axes=AXES)
     key = jax.random.PRNGKey(0)
 
-    def random_zoomed_cameras(key, n):
-        """Fresh hypothesis-like cameras: random orientation, jittered
-        translation, zoomed to the canonical frame (what refinement
-        explores)."""
+    def random_full_cameras(key, n):
+        """Fresh hypothesis-like full-frame cameras: random orientation,
+        jittered translation (what refinement explores)."""
         from latentfusion_tpu.camera import Camera
 
         k1, k2 = jax.random.split(key)
@@ -112,14 +115,18 @@ def main():
         ext = three.to_extrinsic_matrix(trans, quats)
         template = zoo.canonical_camera(1, INPUT_SIZE,
                                         camera_dist=CAMERA_DIST)
-        cam = Camera(jnp.broadcast_to(
+        return Camera(jnp.broadcast_to(
             template.intrinsic, (n, *template.intrinsic.shape[1:])), ext,
-                     z_span=template.z_span, width=template.width,
-                     height=template.height)
-        return cam.zoom(None, INPUT_SIZE, CAMERA_DIST)
+            z_span=template.z_span, width=template.width,
+            height=template.height)
+
+    def random_zoomed_cameras(key, n):
+        return random_full_cameras(key, n).zoom(None, INPUT_SIZE,
+                                                CAMERA_DIST)
 
     def distill_loss(train_params, key):
-        cam = random_zoomed_cameras(key, args.views)
+        cam_full = random_full_cameras(key, args.views)
+        cam = cam_full.zoom(None, INPUT_SIZE, CAMERA_DIST)
         y_o, _, _ = oracle.decode_latent(None, cam)
         o_depth = y_o["depth"][0]
         o_mask = (y_o["mask"][0] > 0.5).astype(jnp.float32)
@@ -134,8 +141,26 @@ def main():
         depth_l1 = jnp.abs(y["depth"] - o_depth).mean()
         mask_bce = estimation._bce_with_logits(y["mask_logits"],
                                                o_mask).mean()
+
+        # Estimator-objective alignment: pose losses compare the UNCROPPED
+        # prediction to the full frame through border-padded resampling
+        # (Camera.uncrop, reference: geometry.py:284), so crop-EDGE logits
+        # get smeared across the whole background. Supervise that exact
+        # path at the ground-truth camera — it drives the objective's
+        # minimum onto the true pose (measured: without this term the
+        # smeared edges displace the optimum by ~0.1 translation units).
         loss = 25.0 * depth_l1 + 25.0 * mask_bce
-        return loss, {"depth_l1": depth_l1, "mask_bce": mask_bce}
+        frame_depth = jnp.zeros(())
+        if args.frame_loss_weight > 0.0:
+            target = oracle.make_observation(cam_full)
+            z_depth = cam.denormalize_depth(y["depth"])
+            frame_ld = estimation.default_pose_loss(target, z_depth,
+                                                    y["mask_logits"], cam)
+            frame_depth = frame_ld["depth"].mean()
+            loss = loss + args.frame_loss_weight * (
+                frame_depth + 0.3 * frame_ld["ov_depth"].mean())
+        return loss, {"depth_l1": depth_l1, "mask_bce": mask_bce,
+                      "frame_depth": frame_depth}
 
     history = []
     if not args.skip_train:
@@ -183,10 +208,12 @@ def main():
             if i % 500 == 0 or i == args.steps - 1:
                 row = {"step": i, "loss": float(loss),
                        "depth_l1": float(aux["depth_l1"]),
-                       "mask_bce": float(aux["mask_bce"])}
+                       "mask_bce": float(aux["mask_bce"]),
+                       "frame_depth": float(aux["frame_depth"])}
                 history.append(row)
                 print(f"step {i}: loss={row['loss']:.4f} "
                       f"d={row['depth_l1']:.4f} m={row['mask_bce']:.4f} "
+                      f"f={row['frame_depth']:.4f} "
                       f"({i / (time.time() - t0):.1f} steps/s)",
                       file=sys.stderr, flush=True)
 
@@ -225,14 +252,17 @@ def main():
     z_obj = train_params["z_obj"]
 
     coarse = estimation.CrossEntropyPoseEstimator(
-        model=model, ranking_size=8, loss_weights={"depth": 1.0},
-        num_samples=64, num_iters=10, num_elites=24, num_gmm_components=4,
+        model=model, ranking_size=16, loss_weights={"depth": 1.0},
+        num_samples=128, num_iters=10, num_elites=48, num_gmm_components=6,
         learning_rate=0.75, sample_flipped=True)
+    # adam_slow shape; mask=0: the reference ships no mask-weighted
+    # config, and the mask term through the border-padded uncrop is
+    # pathological.
     fine = estimation.GradientPoseEstimator(
         model=model, ranking_size=8,
-        loss_weights={"depth": 1.0, "ov_depth": 0.3, "mask": 1.0},
-        learning_rate=0.01, num_samples=8, num_iters=100,
-        converge_threshold=1e-6, converge_patience=20, optimizer="adam")
+        loss_weights={"depth": 1.0, "ov_depth": 0.3},
+        learning_rate=0.01, num_samples=16, num_iters=150,
+        converge_threshold=1e-6, converge_patience=25, optimizer="adam")
 
     # Ellipsoid surface point cloud for ADD-S (sunflower directions).
     from latentfusion_tpu.three import orientation
@@ -250,22 +280,36 @@ def main():
         target = jax.jit(oracle.make_observation)(gt_cam)
 
         coarse_cams = coarse.estimate(z_obj, target, key=k2)
-        best = fine.estimate(z_obj, target, camera=coarse_cams[:8])
+        best = fine.estimate(z_obj, target, camera=coarse_cams[:16])
 
-        def add_s(c):
-            return float(metrics.camera_metrics(
-                gt_cam, c, points, scale_to_meters=1.0)["add_s"])
+        def cam_metrics(c):
+            m = metrics.camera_metrics(gt_cam, c, points,
+                                       scale_to_meters=1.0)
+            return {k: float(m[k]) for k in
+                    ("add_s", "rotation_dist", "translation_dist")}
+
+        def score(c):
+            loss, _ = fine._score_hypotheses(z_obj, target, c)
+            return float(loss.min())
 
         row = {"target": t,
-               "coarse_add_s": add_s(coarse_cams[0]),
-               "refined_add_s": add_s(best[0]),
-               "add_s_01d": bool(add_s(best[0]) < 0.1 * DIAMETER)}
+               "coarse": cam_metrics(coarse_cams[0]),
+               "refined": cam_metrics(best[0]),
+               "loss_at_gt": score(gt_cam),
+               "loss_refined": score(best[:1]),
+               "add_s_01d": bool(cam_metrics(best[0])["add_s"]
+                                 < 0.1 * DIAMETER)}
         rows.append(row)
-        print(f"target {t}: coarse add_s={row['coarse_add_s']:.4f} "
-              f"refined={row['refined_add_s']:.4f} "
+        print(f"target {t}: coarse add_s={row['coarse']['add_s']:.4f} "
+              f"refined={row['refined']['add_s']:.4f} "
+              f"rot={row['refined']['rotation_dist']:.3f} "
+              f"trans={row['refined']['translation_dist']:.4f} "
+              f"loss_gt={row['loss_at_gt']:.4f} "
+              f"loss_ref={row['loss_refined']:.4f} "
               f"0.1d={row['add_s_01d']}", flush=True)
 
     acc = float(np.mean([r["add_s_01d"] for r in rows]))
+    mean_ref = float(np.mean([r["refined"]["add_s"] for r in rows]))
 
     summary = {"targets": rows, "add_s_0.1d": acc,
                "diameter": DIAMETER, "threshold": 0.1 * DIAMETER,
@@ -298,8 +342,7 @@ def main():
 
     (args.out / "pose_eval.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps({"add_s_0.1d": acc,
-                      "mean_refined_add_s": float(np.mean(
-                          [r["refined_add_s"] for r in rows]))}))
+                      "mean_refined_add_s": mean_ref}))
 
 
 if __name__ == "__main__":
