@@ -137,7 +137,7 @@ def main():
                         help="train mode: rematerialize encode/decode "
                              "(needed for the published batch at 256^2)")
     parser.add_argument("--layout", default=None,
-                        choices=["auto", "torch", "channels_last"],
+                        choices=["auto", "torch", "channels_last", "hybrid"],
                         help="decoder-internal activation layout A/B "
                              "(layout.set_decode_layout; auto = "
                              "channels-last on TPU)")
@@ -151,6 +151,9 @@ def main():
                         choices=["auto", "gather", "matmul", "pallas", "taps"],
                         help="3D warp backend A/B (transforms."
                              "set_volume_sample_backend)")
+    parser.add_argument("--refine-remat", action="store_true",
+                        help="rematerialize the refinement decode in the "
+                             "backward (estimation.set_refine_remat)")
     parser.add_argument("--mode", default="gradient",
                         choices=["gradient", "cem", "full", "train"],
                         help="gradient = adam_quick refinement (fwd+bwd); "
@@ -187,6 +190,9 @@ def main():
     from latentfusion_tpu import testing, zoo
     from latentfusion_tpu.pose import estimation
     from latentfusion_tpu.pose import utils as pu
+
+    if args.refine_remat:
+        estimation.set_refine_remat(True)
     from latentfusion_tpu.recon.inference import LatentFusionModel
 
     key = jax.random.PRNGKey(0)

@@ -52,9 +52,18 @@ def channel_axis() -> int:
 
 def set_decode_layout(mode: str) -> None:
     """Select the decoder-internal layout: 'auto' | 'channels_last' |
-    'torch'. ('auto' = channels-last on TPU.)"""
+    'torch' | 'hybrid'. ('auto' = hybrid on TPU.)
+
+    'hybrid' keeps the 3D stage (volume convs + sampler matmuls)
+    channels-last but runs the 2D image U-Nets and 1x1 heads in torch
+    layout: at 128-256^2 spatial sizes with 48-256 channels XLA prefers
+    spatial-minor tilings, and forcing NHWC there costs per-iteration
+    relayout copies plus 1/128-lane unit-channel head outputs (profiled,
+    docs/ARCHITECTURE.md). As a bonus the factor depth collapse
+    (N,C,D,H,W)->(N,C*D,H,W) becomes a free bitcast in torch layout.
+    """
     global _DECODE_MODE
-    if mode not in ("auto", "channels_last", "torch"):
+    if mode not in ("auto", "channels_last", "torch", "hybrid"):
         raise ValueError(mode)
     _DECODE_MODE = mode
 
@@ -64,12 +73,19 @@ def get_decode_layout() -> str:
 
 
 def decode_channels_last() -> bool:
-    """Resolved decoder-internal layout choice."""
+    """Resolved 3D-stage layout choice."""
     if _DECODE_MODE == "auto":
         import jax
 
         return jax.default_backend() == "tpu"
-    return _DECODE_MODE == "channels_last"
+    return _DECODE_MODE in ("channels_last", "hybrid")
+
+
+def image2d_channels_last() -> bool:
+    """Resolved 2D-stage (image U-Net + heads) layout choice."""
+    if _DECODE_MODE == "hybrid":
+        return False
+    return decode_channels_last()
 
 
 def to_channels_last(x):

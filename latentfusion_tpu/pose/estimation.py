@@ -91,6 +91,20 @@ def load_schedules_from_config(config):
 
 # ----------------------------------------------------------------------- loss
 
+_REFINE_REMAT = False
+
+
+def set_refine_remat(enabled: bool) -> None:
+    """Rematerialize the refinement decode in the backward pass
+    (``jax.checkpoint``). Off by default — A/B via bench.py --refine-remat."""
+    global _REFINE_REMAT
+    _REFINE_REMAT = bool(enabled)
+
+
+def get_refine_remat() -> bool:
+    return _REFINE_REMAT
+
+
 def _bce_with_logits(logits, targets):
     """Stable binary cross entropy with logits (torch semantics)."""
     return (jnp.maximum(logits, 0) - logits * targets
@@ -1039,8 +1053,13 @@ class GradientPoseEstimator(PoseEstimator):
             cam = camera_template.replace(**params)
             z_target_latent = (self.model.compute_latent_code(
                 target_obs, cam) if use_latent else None)
-            z_depth, z_mask, z_mask_logits, z_lat = self._render_zoomed(
-                z_obj, cam)
+            render = self._render_zoomed
+            if get_refine_remat():
+                # Recompute the decode in the backward instead of storing
+                # activations (A/B'd via bench.py --refine-remat; helps iff
+                # the backward is bound on reloading saved activations).
+                render = jax.checkpoint(render, static_argnums=())
+            z_depth, z_mask, z_mask_logits, z_lat = render(z_obj, cam)
             weights = self._weights_at(step)
             loss_dict = self.loss_func(target_obs, z_depth, z_mask_logits,
                                        cam, z_pred_latent=z_lat,

@@ -140,17 +140,24 @@ class Sculptor(nn.Module):
         """
         from ..layout import (activations_channels_last,
                               decode_channels_last, from_channels_last,
-                              to_channels_last)
+                              image2d_channels_last, to_channels_last)
 
         # Same channels-last internals as the Photographer (layout.py):
         # the encoder's conv stacks and per-block volume unprojections are
-        # the training step's hot path. Boundaries stay NC*.
+        # the training step's hot path. Boundaries stay NC*. Under 'hybrid'
+        # the 2D image encoder + 2D->3D projection run in torch layout
+        # (the projection reshape to (N,C,D,H,W) is a bitcast there) and
+        # only the 3D stage is channels-last.
         cl = decode_channels_last()
+        cl2d = image2d_channels_last()
         with activations_channels_last(cl):
-            if cl:
-                x = to_channels_last(x)
-            z = self.image_encoder(x)
-            z = self.projection_block(z)
+            with activations_channels_last(cl2d):
+                if cl2d:
+                    x = to_channels_last(x)
+                z = self.image_encoder(x)
+                z = self.projection_block(z)
+            if cl and not cl2d:
+                z = to_channels_last(z)
 
             z_cam_mid = []
             z_obj_mid = []
@@ -344,13 +351,16 @@ class Photographer(nn.Module):
 
         from ..layout import (activations_channels_last, channel_axis,
                               decode_channels_last, from_channels_last,
-                              to_channels_last)
+                              image2d_channels_last, to_channels_last)
 
         # Run the decoder internals channels-last on TPU (layout.py): convs
         # lower channels-minor and the sampler matmul contracts (N,K,J) x
         # (N,J,C), so no physical NC*<->matmul transposes remain in the
         # fwd/bwd hot path. Module boundaries stay in the reference's NC*.
+        # Under the 'hybrid' mode the 2D image decoder + heads run in torch
+        # layout instead (XLA prefers spatial-minor there; see layout.py).
         cl = decode_channels_last()
+        cl2d = image2d_channels_last()
         with activations_channels_last(cl):
             if cl:
                 z_obj = to_channels_last(z_obj)
@@ -386,20 +396,29 @@ class Photographer(nn.Module):
             else:
                 z_depth = None
 
-            if self.projection_type == "sum":
-                z = z.sum(axis=1 if cl else 2)
-            elif self.projection_type == "factor":
-                z = self.projection_block(z)
+            if cl and not cl2d:
+                # Hybrid boundary: hand the camera volume back to torch
+                # layout before the depth collapse — the factor collapse
+                # (N,C,D,H,W)->(N,C*D,H,W) is then a free bitcast and the
+                # whole 2D stage runs in XLA's preferred tilings.
+                z = from_channels_last(z)
 
-            y = self.image_decoder(z)
-            outputs = [ob(y) for ob in self.output_blocks]
-            y = jnp.concatenate(outputs, axis=ch)
+            with activations_channels_last(cl2d):
+                if self.projection_type == "sum":
+                    z = z.sum(axis=1 if cl2d else 2)
+                elif self.projection_type == "factor":
+                    z = self.projection_block(z)
 
-        if cl:
+                y = self.image_decoder(z)
+                outputs = [ob(y) for ob in self.output_blocks]
+                y = jnp.concatenate(
+                    outputs, axis=-1 if cl2d else 1)
+
+        if cl2d:
             y = from_channels_last(y)
             z = from_channels_last(z)
-            if z_depth is not None:
-                z_depth = from_channels_last(z_depth)
+        if cl and z_depth is not None:
+            z_depth = from_channels_last(z_depth)
 
         if return_latent:
             return y, z, z_depth

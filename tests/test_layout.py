@@ -24,10 +24,10 @@ def restore_layout():
     layout.set_decode_layout("auto")
 
 
-def _decode_both_layouts(ph, params, z, cam, **kw):
+def _decode_both_layouts(ph, params, z, cam, mode="channels_last", **kw):
     layout.set_decode_layout("torch")
     out_t = ph.apply(params, z, cam, **kw)
-    layout.set_decode_layout("channels_last")
+    layout.set_decode_layout(mode)
     out_c = ph.apply(params, z, cam, **kw)
     return out_t, out_c
 
@@ -37,19 +37,24 @@ def _assert_close(a, b, atol=5e-5):
                                rtol=1e-4)
 
 
+MODES = ("channels_last", "hybrid")
+
+
 class TestPhotographerLayouts:
-    def test_plain_decode(self, rng, restore_layout):
+    @pytest.mark.parametrize("mode", MODES)
+    def test_plain_decode(self, rng, restore_layout, mode):
         ph = tiny_photographer()
         z = jnp.asarray(rng.randn(3, 4, 8, 8, 8).astype(np.float32))
         cam = make_cameras(3, key=jax.random.PRNGKey(0))
         params = ph.init(jax.random.PRNGKey(1), z, cam)
         (y_t, lat_t, _), (y_c, lat_c, _) = _decode_both_layouts(
-            ph, params, z, cam, return_latent=True)
+            ph, params, z, cam, mode=mode, return_latent=True)
         assert y_t.shape == y_c.shape
         _assert_close(y_t, y_c)
         _assert_close(lat_t, lat_c)
 
-    def test_occlusion_object_blocks_sum(self, rng, restore_layout):
+    @pytest.mark.parametrize("mode", MODES)
+    def test_occlusion_object_blocks_sum(self, rng, restore_layout, mode):
         ph = tiny_photographer(
             object_config=(4, 4), projection_type="sum",
             occlusion_config=((5, "D", 8), (8, "U", 5)))
@@ -57,12 +62,13 @@ class TestPhotographerLayouts:
         cam = make_cameras(2, key=jax.random.PRNGKey(2))
         params = ph.init(jax.random.PRNGKey(1), z, cam)
         (y_t, _, zd_t), (y_c, _, zd_c) = _decode_both_layouts(
-            ph, params, z, cam)
+            ph, params, z, cam, mode=mode)
         assert zd_t.shape == zd_c.shape == (2, 1, 8, 8)
         _assert_close(y_t, y_c)
         _assert_close(zd_t, zd_c)
 
-    def test_gradients_match(self, rng, restore_layout):
+    @pytest.mark.parametrize("mode", MODES)
+    def test_gradients_match(self, rng, restore_layout, mode):
         """Backward equivalence — the layout exists for the bwd hot path."""
         ph = tiny_photographer()
         z = jnp.asarray(rng.randn(2, 4, 8, 8, 8).astype(np.float32))
@@ -77,21 +83,22 @@ class TestPhotographerLayouts:
         grad_fn = jax.grad(loss, argnums=(0, 1))
         layout.set_decode_layout("torch")
         gz_t, gq_t = grad_fn(z, cam.log_quaternion)
-        layout.set_decode_layout("channels_last")
+        layout.set_decode_layout(mode)
         gz_c, gq_c = grad_fn(z, cam.log_quaternion)
         _assert_close(gz_t, gz_c, atol=2e-4)
         _assert_close(gq_t, gq_c, atol=2e-4)
 
 
 class TestSculptorLayouts:
-    def test_encode_matches(self, rng, restore_layout):
+    @pytest.mark.parametrize("mode", MODES)
+    def test_encode_matches(self, rng, restore_layout, mode):
         sc = tiny_sculptor()
         x = jnp.asarray(rng.randn(4, 4, 16, 16).astype(np.float32))
         cam = make_cameras(4, key=jax.random.PRNGKey(2))
         params = sc.init(jax.random.PRNGKey(1), x, cam)
         layout.set_decode_layout("torch")
         z0, cm0, om0 = sc.apply(params, x, cam)
-        layout.set_decode_layout("channels_last")
+        layout.set_decode_layout(mode)
         z1, cm1, om1 = sc.apply(params, x, cam)
         _assert_close(z0, z1)
         for a, b in zip(cm0 + om0, cm1 + om1):
