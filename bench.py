@@ -148,7 +148,8 @@ def main():
                         help="skip the compiled-executable FLOPs probes "
                              "(vs_baseline and %%-peak become null)")
     parser.add_argument("--volume-backend", default=None,
-                        choices=["auto", "gather", "matmul", "pallas", "taps"],
+                        choices=["auto", "gather", "matmul", "pallas", "taps",
+                                 "fused"],
                         help="3D warp backend A/B (transforms."
                              "set_volume_sample_backend)")
     parser.add_argument("--refine-remat", action="store_true",
@@ -158,7 +159,7 @@ def main():
                         choices=["gradient", "cem", "full", "train"],
                         help="gradient = adam_quick refinement (fwd+bwd); "
                              "cem = cross_entropy_quick coarse search "
-                             "(512 hypothesis renders/iter); full = 16-view "
+                             "(128 hypothesis renders/iter); full = 16-view "
                              "reconstruction + coarse + adam_slow "
                              "(seconds/object end-to-end); train = flagship "
                              "reconstruction training step (steps/s)")
@@ -248,13 +249,19 @@ def main():
         return bench_train_step(args, input_size, camera_dist)
 
     if args.mode == "cem":
-        # cross_entropy_quick: 128 GMM samples x 4 flips = 512 forward
-        # hypothesis renders per iteration (reference config).
+        # cross_entropy_quick: num_samples=128 TOTAL renders per iteration.
+        # With sample_flipped the reference draws num_samples//4 = 32 from
+        # the GMM and appends 3 axis-flipped copies — flips are part OF the
+        # 128, not on top of it (reference: estimation.py:378-389).
+        # NOTE (round-3 correction): earlier rounds published CEM rates
+        # computed with hyp_per_iter=512 — a 4x overcount of the actual
+        # renders; those numbers (r2 "3700-4000", r3 "6773") are inflated
+        # 4x and superseded by this accounting.
         est = estimation.CrossEntropyPoseEstimator(
             model=model, ranking_size=16, loss_weights={"depth": 1.0},
             num_samples=128, num_iters=args.iters, num_elites=48,
             num_gmm_components=6, learning_rate=0.9, sample_flipped=True)
-        hyp_per_iter = 512
+        hyp_per_iter = 128
         bwd_factor = 1.0  # forward-only scoring
     else:
         # adam_quick-shaped refinement, early stop disabled for timing.
@@ -280,31 +287,18 @@ def main():
         return loss.sum()
 
     if args.mode == "cem":
-        # The CEM body renders 512 fresh full-frame cameras per iteration
-        # (128 GMM samples x 4 flips) and scores them forward-only. The
-        # probe maps over 64-hyp chunks: a single unrolled 512-hyp score
-        # materializes the full one-hot tap matrix (16 GB) where the real
-        # loop gets tiled by XLA's scheduler; chunking bounds the probe's
-        # memory with identical flops (hyp-invariant work per 64-hyp chunk
-        # differs from per-512 by < 1%).
+        # The CEM body renders hyp_per_iter (=num_samples) fresh cameras
+        # per iteration and scores them forward-only. Probe the score at
+        # the ACTUAL render batch directly. (An earlier probe lax.map'd
+        # over 64-hyp chunks to bound the one-hot tap matrix; XLA's
+        # cost_analysis counts a loop body ONCE regardless of trip count,
+        # so that probe under-reported flops 8x — round-3 audit.)
         probe_cam = jax.jit(lambda: pu.sample_cameras_with_estimate(
             hyp_per_iter, cam0, key=jax.random.PRNGKey(7)))()
-        chunk = min(64, hyp_per_iter)
-
-        def fwd_score_chunked(z, tgt, cam):
-            leaves, treedef = jax.tree_util.tree_flatten(cam)
-            chunked = [l.reshape(-1, chunk, *l.shape[1:]) for l in leaves]
-
-            def score_one(c_leaves):
-                c = jax.tree_util.tree_unflatten(treedef, c_leaves)
-                return fwd_score_sum(z, tgt, c)
-
-            return jax.lax.map(score_one, chunked).sum()
-
         probe_iter_fn, probe_iter_args = (
-            fwd_score_chunked, (z_obj, target_obs, probe_cam))
-        probe_note = (f"fwd score at {hyp_per_iter} hyp in {chunk}-hyp "
-                      "chunks (GMM EM excluded)")
+            fwd_score_sum, (z_obj, target_obs, probe_cam))
+        probe_note = (f"fwd score at {hyp_per_iter} hyp "
+                      "(GMM EM excluded)")
     else:
         # The gradient body differentiates decode+loss w.r.t. the camera
         # params; the adam/plateau/ranking updates are O(N*10) and omitted.

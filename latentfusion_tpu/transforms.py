@@ -34,13 +34,15 @@ def get_volume_sample_backend() -> str:
 
 
 def set_volume_sample_backend(name: str) -> None:
-    """Select the 3D warp backend. 'auto' = one-hot MXU matmul for small
-    latent volumes, tiled Pallas kernel for larger ones on TPU (gather
-    elsewhere — the Pallas interpret path is slow off-TPU). 'taps' =
-    channels-last 8-corner vector gather (border padding; d/dvol is a
-    scatter — use for refinement-style d/dgrid-only workloads)."""
+    """Select the 3D warp backend. 'auto' = fused Pallas sampler on TPU for
+    qualifying shapes (tap tiles built in VMEM, never materialized in HBM —
+    ops/pallas_fused_sample.py), one-hot MXU matmul otherwise for small
+    volumes, tiled Pallas kernel for larger ones on TPU (gather elsewhere —
+    the Pallas interpret path is slow off-TPU). 'taps' = channels-last
+    8-corner vector gather (border padding; d/dvol is a scatter — use for
+    refinement-style d/dgrid-only workloads)."""
     global _VOLUME_SAMPLE_BACKEND
-    if name not in ("auto", "gather", "matmul", "pallas", "taps"):
+    if name not in ("auto", "gather", "matmul", "pallas", "taps", "fused"):
         raise ValueError(name)
     _VOLUME_SAMPLE_BACKEND = name
 
@@ -60,14 +62,31 @@ def _volume_sample(volume, grid, padding_mode):
 
     cl = channels_last()
     spatial = volume.shape[1:4] if cl else volume.shape[-3:]
+    n_grid = grid.shape[0]
     backend = _VOLUME_SAMPLE_BACKEND
     if backend == "auto":
-        if math.prod(spatial) <= MAX_MATMUL_VOXELS:
+        from .ops.pallas_fused_sample import fused_qualifies
+
+        n_channels = volume.shape[-1] if cl else volume.shape[1]
+        k = math.prod(grid.shape[1:4])
+        if (jax.default_backend() == "tpu"
+                and fused_qualifies(spatial, n_channels, k)):
+            backend = "fused"
+        elif math.prod(spatial) <= MAX_MATMUL_VOXELS:
             backend = "matmul"
         elif jax.default_backend() == "tpu":
             backend = "pallas"
         else:
             backend = "gather"
+    if backend == "fused":
+        from .ops.pallas_fused_sample import grid_sample_3d_fused
+
+        # Keeps a shared (1, ...) volume un-broadcast: the kernel reads the
+        # single block for every hypothesis.
+        return grid_sample_3d_fused(volume, grid, padding_mode=padding_mode,
+                                    channels_last=cl)
+    if volume.shape[0] == 1 and n_grid != 1:
+        volume = jnp.broadcast_to(volume, (n_grid, *volume.shape[1:]))
     if backend == "matmul":
         return grid_sample_3d_matmul(volume, grid, padding_mode=padding_mode,
                                      channels_last=cl)
@@ -165,6 +184,8 @@ def object_to_camera(obj_volume: jnp.ndarray, camera: Camera,
     grid_coords = obj_coords / (cube_size / 2)
     grid = grid_coords.reshape(-1, size, size, size, 3)
 
-    obj_volume = jnp.broadcast_to(
-        obj_volume, (camera.length, *obj_volume.shape[1:]))
+    # The per-hypothesis broadcast of a shared latent is deferred to
+    # _volume_sample: the fused Pallas backend reads the single volume
+    # block directly (no N-way HBM materialization); the XLA backends
+    # broadcast lazily (fused into their consumers).
     return _volume_sample(obj_volume, grid, padding_mode)

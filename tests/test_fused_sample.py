@@ -1,0 +1,109 @@
+"""Fused Pallas sampler (VMEM-resident tap tiles) vs the one-hot matmul
+backend — values and both gradient paths, interpret mode on CPU (the same
+kernels compile for TPU; ops/pallas_fused_sample.py docstring has the
+performance rationale)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latentfusion_tpu.ops.gather_matmul import grid_sample_3d_matmul
+from latentfusion_tpu.ops.pallas_fused_sample import (fused_qualifies,
+                                                      grid_sample_3d_fused)
+
+
+def _shapes(rng, n=2, c=128, s=8, k=8):
+    vol = jnp.asarray(rng.randn(n, c, s, s, s).astype(np.float32))
+    grid = jnp.asarray(
+        (rng.rand(n, k, k, k, 3) * 2.4 - 1.2).astype(np.float32))
+    return vol, grid
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_matches_matmul(rng, padding_mode):
+    vol, grid = _shapes(rng)
+    ref = grid_sample_3d_matmul(vol, grid, padding_mode=padding_mode)
+    out = grid_sample_3d_fused(vol, grid, padding_mode=padding_mode)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_channels_last_layout(rng):
+    vol, grid = _shapes(rng)
+    vol_cl = vol.transpose(0, 2, 3, 4, 1)
+    ref = grid_sample_3d_matmul(vol_cl, grid, padding_mode="border",
+                                channels_last=True)
+    out = grid_sample_3d_fused(vol_cl, grid, padding_mode="border",
+                               channels_last=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_gradients_match(rng, padding_mode):
+    """Custom-VJP d/dgrid and d/dvol vs the matmul backend's autodiff."""
+    vol, grid = _shapes(rng, n=1)
+
+    def loss_m(v, g):
+        return (grid_sample_3d_matmul(v, g, padding_mode=padding_mode)
+                ** 2).sum()
+
+    def loss_f(v, g):
+        return (grid_sample_3d_fused(v, g, padding_mode=padding_mode)
+                ** 2).sum()
+
+    gv_m, gg_m = jax.grad(loss_m, argnums=(0, 1))(vol, grid)
+    gv_f, gg_f = jax.grad(loss_f, argnums=(0, 1))(vol, grid)
+    scale_v = np.abs(np.asarray(gv_m)).max() + 1e-9
+    scale_g = np.abs(np.asarray(gg_m)).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(gv_f) / scale_v,
+                               np.asarray(gv_m) / scale_v, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gg_f) / scale_g,
+                               np.asarray(gg_m) / scale_g, atol=1e-4)
+
+
+def test_k_padding(rng):
+    """K not a multiple of the tile size pads with zero-weight samples."""
+    vol = jnp.asarray(rng.randn(1, 128, 8, 8, 8).astype(np.float32))
+    grid = jnp.asarray((rng.rand(1, 5, 7, 9, 3) * 2 - 1).astype(np.float32))
+    ref = grid_sample_3d_matmul(vol, grid, padding_mode="border")
+    out = grid_sample_3d_fused(vol, grid, padding_mode="border")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_shared_volume_batch1(rng):
+    """A (1, ...) volume with an N-hypothesis grid: the kernel serves every
+    hypothesis from the single volume block (pose-estimation case — the
+    latent is shared across hypotheses), and d/dvol sums over hypotheses."""
+    vol = jnp.asarray(rng.randn(1, 128, 8, 8, 8).astype(np.float32))
+    grid = jnp.asarray(
+        (rng.rand(4, 8, 8, 8, 3) * 2.2 - 1.1).astype(np.float32))
+    vol_b = jnp.broadcast_to(vol, (4, *vol.shape[1:]))
+
+    out = grid_sample_3d_fused(vol, grid, padding_mode="border")
+    ref = grid_sample_3d_matmul(vol_b, grid, padding_mode="border")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def loss_f(v, g):
+        return (grid_sample_3d_fused(v, g, padding_mode="border") ** 2).sum()
+
+    def loss_m(v, g):
+        return (grid_sample_3d_matmul(
+            jnp.broadcast_to(v, (4, *v.shape[1:])), g,
+            padding_mode="border") ** 2).sum()
+
+    gv_f, gg_f = jax.grad(loss_f, argnums=(0, 1))(vol, grid)
+    gv_m, gg_m = jax.grad(loss_m, argnums=(0, 1))(vol, grid)
+    assert gv_f.shape == vol.shape
+    scale_v = np.abs(np.asarray(gv_m)).max() + 1e-9
+    scale_g = np.abs(np.asarray(gg_m)).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(gv_f) / scale_v,
+                               np.asarray(gv_m) / scale_v, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gg_f) / scale_g,
+                               np.asarray(gg_m) / scale_g, atol=1e-4)
+
+
+def test_qualification_gate():
+    assert fused_qualifies((16, 16, 16), 256, 4096)
+    assert not fused_qualifies((16, 16, 16), 4, 4096)      # tiny channels
+    assert not fused_qualifies((16, 16, 16), 192, 4096)    # lane-misaligned
+    assert not fused_qualifies((16, 16, 16), 256, 64)      # tiny K
+    assert not fused_qualifies((32, 32, 32), 256, 4096)    # volume too big

@@ -85,7 +85,11 @@ def main():
                     out = out + w[..., None] * taps
         return out.reshape(N, *g.shape[1:4], C).transpose(0, 4, 1, 2, 3)
 
+    from latentfusion_tpu.ops.pallas_fused_sample import grid_sample_3d_fused
+
     fns = {
+        "fused": lambda v, g: grid_sample_3d_fused(v, g,
+                                                   padding_mode="border"),
         "matmul": lambda v, g: grid_sample_3d_matmul(v, g,
                                                      padding_mode="border"),
         "matmul_cl": matmul_cl,
