@@ -36,8 +36,18 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parents[1]))
 
 INPUT_SIZE = 128
-CAMERA_DIST = 1.5
-AXES = (0.15, 0.25, 0.35)
+# Reference-canonical rig (round-3 root cause of the earlier 2/8 gate):
+# the reference normalizes objects to UNIT diameter
+# (examples/pose_estimation.ipynb: object_scale = 1/diameter) and
+# auto-computes the camera distance so the object fits the zoom crop
+# (tools/train/train_reconstruct.py:235-241: optimal_camera_dist(f=615,
+# size=input_size, radius=cube_size/2, slack=128/input_size) = 5.78 for
+# 128^2). The old rig (diameter 0.7 at dist 1.5) projected to ~287 px —
+# 2.2x the 128-px crop — so every target CLIPPED the crop border and the
+# border-smeared uncrop displaced the objective's minimum by ~0.1 in
+# translation regardless of decoder quality.
+CAMERA_DIST = 5.78
+AXES = (0.21, 0.36, 0.5)  # unit bounding diameter, fits cube_size=1.0
 DIAMETER = 2 * max(AXES)
 
 # Mid-size flagship-family decoder (same as the cube demo's).
@@ -110,7 +120,7 @@ def main():
         k1, k2 = jax.random.split(key)
         quats = quat.random(k1, n)
         t_noise = jax.random.normal(k2, (n, 3)) * jnp.asarray(
-            [0.03, 0.03, 0.08])
+            [0.1, 0.1, 0.25])
         trans = jnp.asarray([0.0, 0.0, CAMERA_DIST]) + t_noise
         ext = three.to_extrinsic_matrix(trans, quats)
         template = zoo.canonical_camera(1, INPUT_SIZE,
