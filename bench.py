@@ -64,7 +64,7 @@ TPU_BF16_PEAK = {
 }
 
 
-def _compiled_flops(fn, args_, label):
+def _compiled_flops(fn, args_, label, dead_pallas_tags=()):
     """FLOPs of the optimized executable at the actual batch.
 
     ``lowered.cost_analysis()`` (what round <=2 used) reports
@@ -72,19 +72,35 @@ def _compiled_flops(fn, args_, label):
     work (e.g. the object-space conv blocks on the shared latent) out and
     CSEs the rest, the executed count at a large hypothesis batch is much
     lower per hypothesis. Only the compiled executable's count is honest.
+
+    Pallas custom calls report 0 FLOPs to ``cost_analysis``, so the fused
+    sampler's work is added back from its trace-time analytic count
+    (ops/pallas_fused_sample.record_flops). ``dead_pallas_tags`` names
+    kernels the caller knows XLA DCEs for its differentiation pattern
+    (``fused_bwd_vol`` in pose refinement: the volume is a constant, and
+    the vol-cotangent kernel is a separate pallas_call feeding only that
+    dead output).
     """
     import jax
 
+    from latentfusion_tpu.ops.pallas_fused_sample import record_flops
+
     try:
         t0 = time.time()
-        compiled = jax.jit(fn).lower(*args_).compile()
+        with record_flops() as pallas_trace:
+            compiled = jax.jit(fn).lower(*args_).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca["flops"])
-        print(f"# flops probe [{label}]: {flops / 1e9:.2f} GF "
-              f"(compile {time.time() - t0:.1f}s)", file=sys.stderr)
-        return flops
+        pallas_flops = sum(f for tag, f in pallas_trace
+                           if tag not in dead_pallas_tags)
+        msg = f"# flops probe [{label}]: {flops / 1e9:.2f} GF"
+        if pallas_flops:
+            msg += (f" + {pallas_flops / 1e9:.2f} GF pallas-analytic "
+                    f"({len(pallas_trace)} kernels traced)")
+        print(msg + f" (compile {time.time() - t0:.1f}s)", file=sys.stderr)
+        return flops + pallas_flops
     except Exception as exc:  # pragma: no cover - backend-dependent
         print(f"# flops probe [{label}] failed: {exc!r}", file=sys.stderr)
         return float("nan")
@@ -327,9 +343,14 @@ def main():
         ref_flops_per_hyp = float("nan")
     else:
         n_probe = hyp_per_iter if args.mode == "cem" else args.hypotheses
+        # In gradient mode only the camera params are differentiated; the
+        # latent volume is constant, so the fused sampler's vol-cotangent
+        # kernel is DCE'd and must not be counted.
+        dead = ("fused_bwd_vol",) if args.mode == "gradient" else ()
         tpu_flops_per_hyp = _compiled_flops(
             probe_iter_fn, probe_iter_args,
-            f"{args.mode} tpu mix: {probe_note}") / n_probe
+            f"{args.mode} tpu mix: {probe_note}",
+            dead_pallas_tags=dead) / n_probe
         # Reference op mix: identical decode+loss, forward-only, with the
         # gather volume backend (convs + 8-tap trilinear lerp; no one-hot
         # matmuls). This is what the 2080 Ti is credited with.

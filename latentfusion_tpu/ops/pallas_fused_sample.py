@@ -61,6 +61,37 @@ MIN_FUSED_CHANNELS = 64
 
 _BK = 256  # samples per tile
 
+# Trace-time analytic FLOPs recorder (see ``record_flops``): XLA's
+# ``compiled.cost_analysis()`` reports 0 FLOPs for Pallas custom calls, so
+# benchmarks that probe executed work from the compiled executable would
+# silently under-count the fused sampler. Each kernel records
+# ``(tag, flops)`` here while being *traced*; bench.py sums the tags that
+# survive DCE for its differentiation pattern (``bwd_vol`` is a separate
+# pallas_call feeding only the volume cotangent, so it is dead whenever
+# the volume is not differentiated — pose refinement).
+_FLOP_TRACE = None
+
+
+class record_flops:
+    """Context manager: collect analytic (tag, flops) for every fused
+    sampler kernel traced inside the context."""
+
+    def __enter__(self):
+        global _FLOP_TRACE
+        self._prev = _FLOP_TRACE
+        _FLOP_TRACE = []
+        return _FLOP_TRACE
+
+    def __exit__(self, *exc):
+        global _FLOP_TRACE
+        _FLOP_TRACE = self._prev
+        return False
+
+
+def _record(tag, flops):
+    if _FLOP_TRACE is not None:
+        _FLOP_TRACE.append((tag, float(flops)))
+
 
 def _round_up(v, m):
     return (v + m - 1) // m * m
@@ -148,6 +179,9 @@ def _fused_core(vol_x, wx, wzy):
     n, kp, w = wx.shape
     dh = wzy.shape[2]
     nv, _, c = vol_x.shape
+    # Per-slab (BK,DH)@(DH,C) dots + in-lane wx weighting, over n*kp/BK
+    # tiles and w slabs: 2*n*kp*(w*dh)*c MXU flops (+ O(n*kp*w*c) VPU).
+    _record("fused_fwd", 2.0 * n * kp * w * dh * c + 2.0 * n * kp * w * c)
     return pl.pallas_call(
         functools.partial(_kernel_fwd, w=w, dh=dh),
         grid=(n, kp // _BK),
@@ -183,6 +217,9 @@ def _fused_bwd(res, g):
     nv, _, c = vol_x.shape
     g16 = g.astype(compute_dtype)
 
+    # dW_jx dots (2*n*kp*J*c) + separable VPU reductions (~3*n*kp*J).
+    _record("fused_bwd_grid",
+            2.0 * n * kp * w * dh * c + 3.0 * n * kp * w * dh)
     dwx, dwzy = pl.pallas_call(
         _kernel_bwd_grid,
         grid=(n, kp // _BK),
@@ -209,6 +246,9 @@ def _fused_bwd(res, g):
         interpret=_interpret(),
     )(wx, wzy, g16, vol_x)
 
+    # Tap rebuild (n*kp*J VPU) + (DH,BK)@(BK,C) accumulation dots.
+    _record("fused_bwd_vol",
+            2.0 * n * kp * w * dh * c + 1.0 * n * kp * w * dh)
     dvol = pl.pallas_call(
         functools.partial(_kernel_bwd_vol, w=w, dh=dh,
                           compute_dtype=compute_dtype, shared_vol=nv == 1),

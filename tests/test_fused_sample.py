@@ -107,3 +107,44 @@ def test_qualification_gate():
     assert not fused_qualifies((16, 16, 16), 192, 4096)    # lane-misaligned
     assert not fused_qualifies((16, 16, 16), 256, 64)      # tiny K
     assert not fused_qualifies((32, 32, 32), 256, 4096)    # volume too big
+
+
+def test_record_flops_trace():
+    """Trace-time analytic FLOPs: bench.py adds these back because XLA's
+    cost_analysis reports 0 for Pallas custom calls."""
+    from latentfusion_tpu.ops.pallas_fused_sample import record_flops
+
+    vol = jnp.ones((1, 128, 8, 8, 8))
+    grid = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 8, 8, 3),
+                              minval=-1.0, maxval=1.0)
+
+    def f(g):
+        return grid_sample_3d_fused(vol, g).sum()
+
+    with record_flops() as tr:
+        jax.jit(f).lower(grid).compile()
+    assert [t for t, _ in tr] == ["fused_fwd"]
+    # 2*n*kp*J*c dominates: n=2, kp=512 (K=8^3 is already a multiple of
+    # the 256-sample tile), J=8^3=512, c=128.
+    n, kp, j, c = 2, 512, 512, 128
+    assert abs(tr[0][1] - (2 * n * kp * j * c + 2 * n * kp * 8 * c)) < 1e3
+
+    with record_flops() as tr2:
+        jax.jit(jax.grad(f)).lower(grid).compile()
+    assert sorted(t for t, _ in tr2) == [
+        "fused_bwd_grid", "fused_bwd_vol", "fused_fwd"]
+    for _, fl in tr2:
+        assert fl > 2 * n * kp * j * c * 0.9
+
+    # Recorder state restores after the context (no leakage between runs).
+    # NOTE: a fresh function object is required — JAX's trace cache skips
+    # re-tracing an already-lowered (fn, args) pair, and the recorder only
+    # sees actual traces (bench.py builds fresh probe closures per run).
+    def f_fresh(g):
+        return grid_sample_3d_fused(vol, g).sum() * 2.0
+
+    with record_flops() as outer:
+        with record_flops() as inner:
+            jax.jit(f_fresh).lower(grid).compile()
+        assert len(inner) == 1
+        assert len(outer) == 0
