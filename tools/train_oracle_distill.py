@@ -78,6 +78,14 @@ def main():
                              "orientation sharpness)")
     parser.add_argument("--sharpness-probe", action="store_true",
                         help="also record the loss-vs-angle-offset curve")
+    parser.add_argument("--coarse-samples", type=int, default=None,
+                        help="override CEM hypotheses/iter (default: preset)")
+    parser.add_argument("--coarse-iters", type=int, default=None,
+                        help="override CEM iterations (default: preset)")
+    parser.add_argument("--coarse-config", default="quick",
+                        choices=["quick", "slow"],
+                        help="reference cross_entropy_{quick,slow}.toml "
+                             "coarse-search budget/semantics")
     args = parser.parse_args()
 
     import numpy as np
@@ -261,10 +269,24 @@ def main():
     model.input_size = INPUT_SIZE
     z_obj = train_params["z_obj"]
 
+    # Reference cross_entropy_{quick,slow}.toml budgets and semantics.
+    if args.coarse_config == "slow":
+        coarse_kw = dict(num_samples=200, num_iters=30, num_elites=64,
+                         learning_rate=0.3,
+                         loss_weights={"depth": 1.0, "ov_depth": 0.2},
+                         ranking_size=64)
+    else:
+        coarse_kw = dict(num_samples=128, num_iters=10, num_elites=48,
+                         learning_rate=0.75, loss_weights={"depth": 1.0},
+                         ranking_size=16)
+    if args.coarse_samples:
+        coarse_kw["num_samples"] = args.coarse_samples
+        coarse_kw["num_elites"] = max(coarse_kw["num_elites"],
+                                      (3 * args.coarse_samples) // 8)
+    if args.coarse_iters:
+        coarse_kw["num_iters"] = args.coarse_iters
     coarse = estimation.CrossEntropyPoseEstimator(
-        model=model, ranking_size=16, loss_weights={"depth": 1.0},
-        num_samples=128, num_iters=10, num_elites=48, num_gmm_components=6,
-        learning_rate=0.75, sample_flipped=True)
+        model=model, num_gmm_components=6, sample_flipped=True, **coarse_kw)
     # adam_slow shape; mask=0: the reference ships no mask-weighted
     # config, and the mask term through the border-padded uncrop is
     # pathological.
