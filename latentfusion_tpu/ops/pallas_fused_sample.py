@@ -10,32 +10,40 @@ also avoids HBM taps but rebuilds each (BK, BJ) tile with full-width iota
 comparisons (~10 VPU ops/element — measured as slow as the matmul).
 
 This kernel never builds the (K, J) tap matrix at all. The trilinear tap
-weight factorizes as ``W[k, jx*DH + zy] = wx[k, jx] * w_zy[k, zy]`` (the
-volume is flattened in (x, z, y) spatial order), so the contraction
-decomposes over the W axis into per-slab MXU dots::
+weight factorizes as ``W[k, jx*DH + zy] = wx[k, jx] * wz[k, jz] * wy[k,
+jy]`` (the volume is flattened in (x, z, y) spatial order), so the
+contraction decomposes over the W axis into per-slab MXU dots::
 
-    out[k, c] = sum_jx wx[k, jx] * (w_zy @ vol[jx])[k, c]
+    out[k, c] = sum_jx wx[k, jx] * ((wz (x) wy) @ vol[jx])[k, c]
 
 Each slab dot is a lane-aligned (BK, DH) @ (DH, C) matmul (256x256x256 at
-the flagship 16^3 shape) and the wx weighting is a 2-op in-lane broadcast
-multiply-accumulate — everything stays 2D, which Mosaic lowers cleanly
-(3D broadcast/reshape variants hit "insertion of minor dim" / minor-dim
-split limitations on v5e).
+the flagship 16^3 shape). The (BK, DH) ``w_zy = wz (x) wy`` outer-product
+tile is built IN VMEM per tile from the per-axis factors via two tiny
+selection matmuls (``wz @ S``, ``wy @ T`` with S/T 0-1 iota matrices —
+everything stays 2D, which Mosaic lowers cleanly; 3D broadcast/reshape
+variants hit "insertion of minor dim" limitations on v5e). Earlier
+revisions materialized w_zy in HBM as a kernel input: at the CEM shape
+that cost ~0.8 GB/iteration of write+read traffic plus an XLA layout
+copy — all gone now that only the (N, K, 16) factors cross HBM.
 
-Custom VJP (boundary at ``(vol, wx, w_zy)``; the chain from the grid
-coordinates through the per-axis factor construction and the tiny
-``w_zy = wz (x) wy`` outer product is ordinary XLA autodiff outside the
-kernel):
-- d/dwx, d/dw_zy: per-slab ``dW_jx = g @ vol[jx]^T`` MXU dots in VMEM,
-  reduced separably on the VPU — the (N, K, J) cotangent never touches
-  HBM either.
+Custom VJP (boundary at ``(vol, wx, wy, wz)``; the chain from the grid
+coordinates through the per-axis factor construction is ordinary XLA
+autodiff outside the kernel):
+- d/dwx, d/dwy, d/dwz: per-slab ``dW_jx = g @ vol[jx]^T`` MXU dots in
+  VMEM; the (N, K, J) cotangent never touches HBM. The w_zy cotangent is
+  reduced separably in VMEM (``dwz = (dW_zy * wy_rep) @ S^T``,
+  ``dwy = (dW_zy * wz_rep) @ T^T``) so only (N, K, 16) factors come back.
 - d/dvol: ``(wx[:, jx] * w_zy)^T @ g`` accumulated over K tiles into a
   VMEM-resident block. Dead (DCE'd by XLA — it is a separate
   ``pallas_call`` feeding only the vol cotangent) in pose refinement
   where the volume is constant.
 
 Numerics match ``grid_sample_3d_matmul`` exactly: identical factor values
-(same ``_axis_factor``), bf16 taps, fp32 MXU accumulation.
+(same ``_axis_factor``), bf16 taps, fp32 MXU accumulation. The
+``out_dtype`` option stores the fp32 accumulator rounded once (used by
+the decode path to hand bf16 straight to the next conv — the same values
+the conv's own input convert would produce, minus ~0.8 GB/iteration of
+f32 round-tripping at the CEM shape).
 
 Reference behavior replicated: ``F.grid_sample(mode='bilinear',
 align_corners=False)`` with zeros/border padding
@@ -97,58 +105,92 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
-def _kernel_fwd(wx_ref, wzy_ref, vol_ref, out_ref, *, w, dh):
-    """out[k, c] = sum_jx wx[k, jx] * (w_zy @ vol[jx])[k, c]."""
-    wzy = wzy_ref[0]
+def _sel_matrices(d, h, dtype):
+    """0-1 selection matrices turning per-axis factors into the flattened
+    (z, y) tile: ``S[jz, j] = [j // h == jz]``, ``T[jy, j] = [j % h ==
+    jy]`` so ``(wz @ S) * (wy @ T)`` is the (BK, D*H) outer-product tile.
+    Pure 2D iota — Mosaic-safe on v5e."""
+    dh = d * h
+    j_d = jax.lax.broadcasted_iota(jnp.int32, (d, dh), 1)
+    r_d = jax.lax.broadcasted_iota(jnp.int32, (d, dh), 0)
+    sel_z = (j_d // h == r_d).astype(dtype)
+    j_h = jax.lax.broadcasted_iota(jnp.int32, (h, dh), 1)
+    r_h = jax.lax.broadcasted_iota(jnp.int32, (h, dh), 0)
+    sel_y = (j_h % h == r_h).astype(dtype)
+    return sel_z, sel_y
+
+
+def _dot(a, b, contract=((1,), (0,))):
+    return jax.lax.dot_general(a, b, dimension_numbers=(contract, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _zy_tile(wz, wy, compute_dtype):
+    """(BK, D*H) outer-product tile from (BK, D) and (BK, H) factors.
+    f32 product rounded once to the compute dtype — identical values to
+    the former HBM-materialized bf16 ``wz (x) wy``."""
+    d, h = wz.shape[1], wy.shape[1]
+    sel_z, sel_y = _sel_matrices(d, h, wz.dtype)
+    wz_rep = _dot(wz, sel_z)  # (BK, DH) f32
+    wy_rep = _dot(wy, sel_y)
+    return (wz_rep * wy_rep).astype(compute_dtype), wz_rep, wy_rep
+
+
+def _kernel_fwd(wx_ref, wy_ref, wz_ref, vol_ref, out_ref, *, w, out_dtype):
+    """out[k, c] = sum_jx wx[k, jx] * ((wz (x) wy) @ vol[jx])[k, c]."""
+    compute_dtype = vol_ref.dtype
+    dh = wz_ref.shape[2] * wy_ref.shape[2]
+    wzy, _, _ = _zy_tile(wz_ref[0], wy_ref[0], compute_dtype)
     acc = None
     for jx in range(w):
-        q = jax.lax.dot_general(
-            wzy, vol_ref[0, jx * dh:(jx + 1) * dh, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (BK, C)
+        q = _dot(wzy, vol_ref[0, jx * dh:(jx + 1) * dh, :])  # (BK, C)
         term = wx_ref[0][:, jx:jx + 1].astype(jnp.float32) * q
         acc = term if acc is None else acc + term
-    out_ref[0] = acc
+    out_ref[0] = acc.astype(out_dtype)
 
 
-def _kernel_bwd_grid(wx_ref, wzy_ref, g_ref, vol_ref, dwx_ref, dwzy_ref):
+def _kernel_bwd_grid(wx_ref, wy_ref, wz_ref, g_ref, vol_ref,
+                     dwx_ref, dwy_ref, dwz_ref):
     """Per-slab dW_jx = g @ vol[jx]^T (MXU, VMEM-resident), then separable
-    VPU reductions: dwx[:, jx] = sum_zy dW_jx * w_zy,
-    dw_zy += wx[:, jx] * dW_jx."""
+    VPU/MXU reductions: dwx[:, jx] = sum_zy dW_jx * w_zy; the accumulated
+    w_zy cotangent reduces to dwz / dwy through the selection matrices —
+    only (BK, D|H) factor gradients leave the kernel."""
+    compute_dtype = vol_ref.dtype
     w = wx_ref.shape[2]
-    dh = wzy_ref.shape[2]
+    d, h = wz_ref.shape[2], wy_ref.shape[2]
+    dh = d * h
     g = g_ref[0]
-    wzy = wzy_ref[0].astype(jnp.float32)
+    wzy, wz_rep, wy_rep = _zy_tile(wz_ref[0], wy_ref[0], compute_dtype)
+    wzy32 = wzy.astype(jnp.float32)
     dwzy_acc = None
     for jx in range(w):
-        dW = jax.lax.dot_general(
-            g, vol_ref[0, jx * dh:(jx + 1) * dh, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (BK, DH)
-        dwx_ref[0, :, jx:jx + 1] = (dW * wzy).sum(axis=1, keepdims=True)
+        dW = _dot(g, vol_ref[0, jx * dh:(jx + 1) * dh, :],
+                  contract=((1,), (1,)))  # (BK, DH)
+        dwx_ref[0, :, jx:jx + 1] = (dW * wzy32).sum(axis=1, keepdims=True)
         term = wx_ref[0][:, jx:jx + 1].astype(jnp.float32) * dW
         dwzy_acc = term if dwzy_acc is None else dwzy_acc + term
-    dwzy_ref[0] = dwzy_acc
+    sel_z, sel_y = _sel_matrices(d, h, jnp.float32)
+    dwz_ref[0] = _dot(dwzy_acc * wy_rep, sel_z, contract=((1,), (1,)))
+    dwy_ref[0] = _dot(dwzy_acc * wz_rep, sel_y, contract=((1,), (1,)))
 
 
-def _kernel_bwd_vol(wx_ref, wzy_ref, g_ref, out_ref, *, w, dh,
-                    compute_dtype, shared_vol):
+def _kernel_bwd_vol(wx_ref, wy_ref, wz_ref, g_ref, out_ref, *, w,
+                    compute_dtype, group):
     """dvol[jx*DH + zy, c] += (wx[:, jx] * w_zy)^T @ g over K tiles (and
-    over hypotheses too when the volume is shared)."""
+    over each object's ``group`` hypotheses when the volume is shared)."""
+    dh = wz_ref.shape[2] * wy_ref.shape[2]
     k_step = pl.program_id(1)
     first = k_step == 0
-    if shared_vol:
-        # Shared volume: every (ni, ki) step accumulates into block 0.
-        first = jnp.logical_and(pl.program_id(0) == 0, first)
+    if group > 1:
+        # Shared volume: the first (ni, ki) step of each object's
+        # contiguous hypothesis block starts its accumulator.
+        first = jnp.logical_and(pl.program_id(0) % group == 0, first)
     g = g_ref[0]
-    wzy = wzy_ref[0].astype(jnp.float32)
+    wzy, _, _ = _zy_tile(wz_ref[0], wy_ref[0], jnp.float32)
     for jx in range(w):
         tap = (wx_ref[0][:, jx:jx + 1].astype(jnp.float32)
                * wzy).astype(compute_dtype)  # (BK, DH)
-        partial = jax.lax.dot_general(
-            tap, g,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (DH, C)
+        partial = _dot(tap, g, contract=((0,), (0,)))  # (DH, C)
 
         @pl.when(first)
         def _():
@@ -164,111 +206,125 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _vol_index_map(nv):
-    """Volume block index: a shared (1, J', C) volume serves every
-    hypothesis without an N-way HBM broadcast."""
+def _vol_index_map(nv, n):
+    """Volume block index: a shared (NV, J', C) volume (NV | N, object-major
+    hypothesis blocks) serves each object's hypotheses from its single HBM
+    block without an N-way broadcast. Mosaic keeps the block resident
+    across grid steps whose index is unchanged, so each object's volume is
+    fetched once per contiguous run, not once per hypothesis."""
     if nv == 1:
         return lambda ni, ki: (0, 0, 0)
-    return lambda ni, ki: (ni, 0, 0)
+    if nv == n:
+        return lambda ni, ki: (ni, 0, 0)
+    group = n // nv
+    return lambda ni, ki: (ni // group, 0, 0)
 
 
-def _fused_core(vol_x, wx, wzy):
+def _factor_spec(width):
+    return pl.BlockSpec((1, _BK, width), lambda ni, ki: (ni, ki, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fused_core(out_dtype, vol_x, wx, wy, wz):
     """vol_x: (NV, J', C) volume flattened in (x, z, y) order, bf16, with
-    NV in {1, N}; wx: (N, Kp, W), wzy: (N, Kp, D*H) factors.
-    Returns (N, Kp, C) fp32."""
+    NV | N; wx: (N, Kp, W), wy: (N, Kp, H), wz: (N, Kp, D) factors.
+    Returns (N, Kp, C) in ``out_dtype`` (fp32 accumulation)."""
     n, kp, w = wx.shape
-    dh = wzy.shape[2]
+    d, h = wz.shape[2], wy.shape[2]
+    dh = d * h
     nv, _, c = vol_x.shape
-    # Per-slab (BK,DH)@(DH,C) dots + in-lane wx weighting, over n*kp/BK
-    # tiles and w slabs: 2*n*kp*(w*dh)*c MXU flops (+ O(n*kp*w*c) VPU).
-    _record("fused_fwd", 2.0 * n * kp * w * dh * c + 2.0 * n * kp * w * c)
+    # Per-slab (BK,DH)@(DH,C) dots + in-lane wx weighting over n*kp/BK
+    # tiles and w slabs (2*n*kp*(w*dh)*c MXU flops), plus the per-tile
+    # w_zy build (two (BK,D|H)@(D|H,DH) selection dots).
+    _record("fused_fwd", 2.0 * n * kp * w * dh * c + 2.0 * n * kp * w * c
+            + 2.0 * n * kp * (d + h) * dh)
     return pl.pallas_call(
-        functools.partial(_kernel_fwd, w=w, dh=dh),
+        functools.partial(_kernel_fwd, w=w, out_dtype=out_dtype),
         grid=(n, kp // _BK),
         in_specs=[
-            pl.BlockSpec((1, _BK, w), lambda ni, ki: (ni, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BK, dh), lambda ni, ki: (ni, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w * dh, c), _vol_index_map(nv),
+            _factor_spec(w),
+            _factor_spec(h),
+            _factor_spec(d),
+            pl.BlockSpec((1, w * dh, c), _vol_index_map(nv, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, _BK, c), lambda ni, ki: (ni, ki, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, kp, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, kp, c), out_dtype),
         interpret=_interpret(),
-    )(wx, wzy, vol_x)
+    )(wx, wy, wz, vol_x)
 
 
-@jax.custom_vjp
-def _fused_sample(vol_x, wx, wzy):
-    return _fused_core(vol_x, wx, wzy)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_sample(out_dtype, vol_x, wx, wy, wz):
+    return _fused_core(out_dtype, vol_x, wx, wy, wz)
 
 
-def _fused_fwd(vol_x, wx, wzy):
-    return _fused_core(vol_x, wx, wzy), (vol_x, wx, wzy)
+def _fused_fwd(out_dtype, vol_x, wx, wy, wz):
+    return _fused_core(out_dtype, vol_x, wx, wy, wz), (vol_x, wx, wy, wz)
 
 
-def _fused_bwd(res, g):
-    vol_x, wx, wzy = res
+def _fused_bwd(out_dtype, res, g):
+    vol_x, wx, wy, wz = res
     compute_dtype = vol_x.dtype
     n, kp, w = wx.shape
-    dh = wzy.shape[2]
+    d, h = wz.shape[2], wy.shape[2]
+    dh = d * h
     nv, _, c = vol_x.shape
     g16 = g.astype(compute_dtype)
 
-    # dW_jx dots (2*n*kp*J*c) + separable VPU reductions (~3*n*kp*J).
+    # dW_jx dots (2*n*kp*J*c) + separable reductions (VPU + selection dots).
     _record("fused_bwd_grid",
-            2.0 * n * kp * w * dh * c + 3.0 * n * kp * w * dh)
-    dwx, dwzy = pl.pallas_call(
+            2.0 * n * kp * w * dh * c + 3.0 * n * kp * w * dh
+            + 4.0 * n * kp * (d + h) * dh)
+    dwx, dwy, dwz = pl.pallas_call(
         _kernel_bwd_grid,
         grid=(n, kp // _BK),
         in_specs=[
-            pl.BlockSpec((1, _BK, w), lambda ni, ki: (ni, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BK, dh), lambda ni, ki: (ni, ki, 0),
-                         memory_space=pltpu.VMEM),
+            _factor_spec(w),
+            _factor_spec(h),
+            _factor_spec(d),
             pl.BlockSpec((1, _BK, c), lambda ni, ki: (ni, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w * dh, c), _vol_index_map(nv),
+            pl.BlockSpec((1, w * dh, c), _vol_index_map(nv, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, _BK, w), lambda ni, ki: (ni, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BK, dh), lambda ni, ki: (ni, ki, 0),
-                         memory_space=pltpu.VMEM),
+            _factor_spec(w),
+            _factor_spec(h),
+            _factor_spec(d),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, kp, w), jnp.float32),
-            jax.ShapeDtypeStruct((n, kp, dh), jnp.float32),
+            jax.ShapeDtypeStruct((n, kp, h), jnp.float32),
+            jax.ShapeDtypeStruct((n, kp, d), jnp.float32),
         ],
         interpret=_interpret(),
-    )(wx, wzy, g16, vol_x)
+    )(wx, wy, wz, g16, vol_x)
 
     # Tap rebuild (n*kp*J VPU) + (DH,BK)@(BK,C) accumulation dots.
     _record("fused_bwd_vol",
-            2.0 * n * kp * w * dh * c + 1.0 * n * kp * w * dh)
+            2.0 * n * kp * w * dh * c + 1.0 * n * kp * w * dh
+            + 2.0 * n * kp * (d + h) * dh)
     dvol = pl.pallas_call(
-        functools.partial(_kernel_bwd_vol, w=w, dh=dh,
-                          compute_dtype=compute_dtype, shared_vol=nv == 1),
+        functools.partial(_kernel_bwd_vol, w=w,
+                          compute_dtype=compute_dtype, group=n // nv),
         grid=(n, kp // _BK),
         in_specs=[
-            pl.BlockSpec((1, _BK, w), lambda ni, ki: (ni, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BK, dh), lambda ni, ki: (ni, ki, 0),
-                         memory_space=pltpu.VMEM),
+            _factor_spec(w),
+            _factor_spec(h),
+            _factor_spec(d),
             pl.BlockSpec((1, _BK, c), lambda ni, ki: (ni, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, w * dh, c), _vol_index_map(nv),
+        out_specs=pl.BlockSpec((1, w * dh, c), _vol_index_map(nv, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nv, w * dh, c), jnp.float32),
         interpret=_interpret(),
-    )(wx, wzy, g16)
+    )(wx, wy, wz, g16)
 
     return (dvol.astype(vol_x.dtype), dwx.astype(wx.dtype),
-            dwzy.astype(wzy.dtype))
+            dwy.astype(wy.dtype), dwz.astype(wz.dtype))
 
 
 _fused_sample.defvjp(_fused_fwd, _fused_bwd)
@@ -285,15 +341,18 @@ def fused_qualifies(spatial, c: int, k: int) -> bool:
 
 
 def grid_sample_3d_fused(input, grid, padding_mode: str = "zeros",
-                         channels_last: bool = False):
+                         channels_last: bool = False, out_dtype=None):
     """Drop-in for ``grid_sample_3d_matmul`` via the fused Pallas kernels.
 
     input: (NV, C, D, H, W), or (NV, D, H, W, C) with ``channels_last``,
-        where NV is the grid batch N or 1 (shared volume — served to every
-        hypothesis straight from its single HBM block, no broadcast).
+        where NV divides the grid batch N (a shared volume is served to
+        each of its hypotheses straight from its single HBM block, no
+        broadcast).
     grid: (N, Do, Ho, Wo, 3) with (x, y, z) in [-1, 1].
+    out_dtype: output dtype (default fp32; accumulation is fp32 always).
     """
     compute_dtype = get_compute_dtype()
+    out_dtype = jnp.dtype(out_dtype or jnp.float32)
     if channels_last:
         nv, d, h, w, c = input.shape
         vol = input
@@ -301,8 +360,8 @@ def grid_sample_3d_fused(input, grid, padding_mode: str = "zeros",
         nv, c, d, h, w = input.shape
         vol = input.transpose(0, 2, 3, 4, 1)  # (NV, D, H, W, C)
     n = grid.shape[0]
-    if nv not in (1, n):
-        raise ValueError(f"volume batch {nv} vs grid batch {n}")
+    if n % nv != 0:
+        raise ValueError(f"volume batch {nv} must divide grid batch {n}")
     out_spatial = grid.shape[1:4]
     k = grid.reshape(n, -1, 3).shape[1]
 
@@ -320,16 +379,14 @@ def grid_sample_3d_fused(input, grid, padding_mode: str = "zeros",
     wx = _axis_factor(x, w, padding_mode, compute_dtype)
     wy = _axis_factor(y, h, padding_mode, compute_dtype)
     wz = _axis_factor(z, d, padding_mode, compute_dtype)
-    # Tiny (K, D, H) outer product OUTSIDE the kernel: its autodiff (the
-    # d/dwz, d/dwy chain back to the grid) is ordinary XLA.
-    wzy = (wz[:, :, :, None] * wy[:, :, None, :]).reshape(n, k, d * h)
 
     kp = _round_up(k, _BK)
     if kp != k:
         wx = jnp.pad(wx, ((0, 0), (0, kp - k), (0, 0)))
-        wzy = jnp.pad(wzy, ((0, 0), (0, kp - k), (0, 0)))
+        wy = jnp.pad(wy, ((0, 0), (0, kp - k), (0, 0)))
+        wz = jnp.pad(wz, ((0, 0), (0, kp - k), (0, 0)))
 
-    out = _fused_sample(vol_x, wx, wzy)[:, :k]  # (N, K, C) fp32
+    out = _fused_sample(out_dtype, vol_x, wx, wy, wz)[:, :k]  # (N, K, C)
     if channels_last:
         return out.reshape(n, *out_spatial, c)
     return out.reshape(n, *out_spatial, c).transpose(0, 4, 1, 2, 3)

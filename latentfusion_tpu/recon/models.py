@@ -339,15 +339,24 @@ class Photographer(nn.Module):
 
     def __call__(self, z_obj, camera: Camera, z_cam_mid=None, z_obj_mid=None,
                  return_latent: bool = False):
-        """z_obj: (B', C, D, H, W) with B' == len(camera). Returns
-        (y_logits, z_latent | None, z_depth | None)
-        (reference: models.py:397-453)."""
-        if z_obj.shape[0] != camera.length:
+        """z_obj: (B', C, D, H, W) with B' == len(camera), or B' dividing
+        len(camera) (a shared latent decoded across hypothesis cameras:
+        the object-space blocks then run once per latent and the
+        per-hypothesis expansion happens inside the volume sampler, which
+        reads the shared block instead of an N-way HBM broadcast —
+        reference semantics: models.py:397-453 with the expand_dim
+        broadcast of models.py:486-505 hoisted out of the per-camera
+        path). Returns (y_logits, z_latent | None, z_depth | None)."""
+        if camera.length % z_obj.shape[0] != 0:
             raise ValueError(
-                f"batch dimension of z_obj and camera must match "
-                f"({z_obj.shape[0]} != {camera.length})")
+                f"batch dimension of z_obj must divide len(camera) "
+                f"({z_obj.shape[0]} vs {camera.length})")
         if self.skip_connections and (z_cam_mid is None or z_obj_mid is None):
             raise ValueError("intermediates required for skip connections.")
+        if self.skip_connections and z_obj.shape[0] != camera.length:
+            # Skip tensors are per-view: align the latent with them.
+            z_obj = jnp.repeat(z_obj, camera.length // z_obj.shape[0],
+                               axis=0)
 
         from ..layout import (activations_channels_last, channel_axis,
                               decode_channels_last, from_channels_last,
@@ -473,9 +482,13 @@ def decode(photographer: Photographer, params, z_obj, camera: Camera,
     """
     num_batch = z_obj.shape[0]
     num_views = camera.length // num_batch
-    z = jnp.broadcast_to(
-        z_obj, (num_batch, num_views, *z_obj.shape[2:]))
-    z = z.reshape(-1, *z_obj.shape[2:])
+    # The latent is NOT broadcast to the hypothesis batch here: the
+    # photographer decodes a (B, ...) latent across B*V cameras, running
+    # the shared object-space work at batch B and serving the volume
+    # sampler from the single HBM block per object (the reference
+    # materializes the expand() instead, models.py:490-496 — on TPU that
+    # broadcast costs ~0.5 GB/iteration at the 128-hypothesis CEM shape).
+    z = z_obj.reshape(num_batch, *z_obj.shape[2:])
 
     y, z_lat, z_depth = photographer.apply(params, z, camera,
                                            return_latent=return_latent)

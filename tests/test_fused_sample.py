@@ -125,9 +125,12 @@ def test_record_flops_trace():
         jax.jit(f).lower(grid).compile()
     assert [t for t, _ in tr] == ["fused_fwd"]
     # 2*n*kp*J*c dominates: n=2, kp=512 (K=8^3 is already a multiple of
-    # the 256-sample tile), J=8^3=512, c=128.
-    n, kp, j, c = 2, 512, 512, 128
-    assert abs(tr[0][1] - (2 * n * kp * j * c + 2 * n * kp * 8 * c)) < 1e3
+    # the 256-sample tile), J=8^3=512, c=128; plus the in-kernel w_zy
+    # build (two (BK, D|H) @ (D|H, DH) selection dots per tile).
+    n, kp, j, c, d, h = 2, 512, 512, 128, 8, 8
+    expect = (2 * n * kp * j * c + 2 * n * kp * 8 * c
+              + 2 * n * kp * (d + h) * d * h)
+    assert abs(tr[0][1] - expect) < 1e3
 
     with record_flops() as tr2:
         jax.jit(jax.grad(f)).lower(grid).compile()
