@@ -136,49 +136,59 @@ def _zy_tile(wz, wy, compute_dtype):
     return (wz_rep * wy_rep).astype(compute_dtype), wz_rep, wy_rep
 
 
-def _kernel_fwd(wx_ref, wy_ref, wz_ref, vol_ref, out_ref, *, w, out_dtype):
+def _unpack_factors(wf, w, h, d):
+    """wf: (BK, W+H+D) packed per-axis factors -> (wx, wy, wz) lane
+    slices. ONE packed HBM operand per kernel instead of three: each
+    async operand staging copy has a fixed latency on this backend
+    (profiled ~0.3-0.6 ms per slice-start at the 8-hypothesis refinement
+    shape), so operand count — not bytes — is what shows up in the loop."""
+    return wf[:, :w], wf[:, w:w + h], wf[:, w + h:w + h + d]
+
+
+def _kernel_fwd(wf_ref, vol_ref, out_ref, *, w, h, d, out_dtype):
     """out[k, c] = sum_jx wx[k, jx] * ((wz (x) wy) @ vol[jx])[k, c]."""
     compute_dtype = vol_ref.dtype
-    dh = wz_ref.shape[2] * wy_ref.shape[2]
-    wzy, _, _ = _zy_tile(wz_ref[0], wy_ref[0], compute_dtype)
+    dh = d * h
+    wx, wy, wz = _unpack_factors(wf_ref[0], w, h, d)
+    wzy, _, _ = _zy_tile(wz, wy, compute_dtype)
     acc = None
     for jx in range(w):
         q = _dot(wzy, vol_ref[0, jx * dh:(jx + 1) * dh, :])  # (BK, C)
-        term = wx_ref[0][:, jx:jx + 1].astype(jnp.float32) * q
+        term = wx[:, jx:jx + 1].astype(jnp.float32) * q
         acc = term if acc is None else acc + term
     out_ref[0] = acc.astype(out_dtype)
 
 
-def _kernel_bwd_grid(wx_ref, wy_ref, wz_ref, g_ref, vol_ref,
-                     dwx_ref, dwy_ref, dwz_ref):
+def _kernel_bwd_grid(wf_ref, g_ref, vol_ref, dwf_ref, *, w, h, d):
     """Per-slab dW_jx = g @ vol[jx]^T (MXU, VMEM-resident), then separable
     VPU/MXU reductions: dwx[:, jx] = sum_zy dW_jx * w_zy; the accumulated
     w_zy cotangent reduces to dwz / dwy through the selection matrices —
-    only (BK, D|H) factor gradients leave the kernel."""
+    only the packed (BK, W+H+D) factor gradient leaves the kernel."""
     compute_dtype = vol_ref.dtype
-    w = wx_ref.shape[2]
-    d, h = wz_ref.shape[2], wy_ref.shape[2]
     dh = d * h
     g = g_ref[0]
-    wzy, wz_rep, wy_rep = _zy_tile(wz_ref[0], wy_ref[0], compute_dtype)
+    wx, wy, wz = _unpack_factors(wf_ref[0], w, h, d)
+    wzy, wz_rep, wy_rep = _zy_tile(wz, wy, compute_dtype)
     wzy32 = wzy.astype(jnp.float32)
     dwzy_acc = None
     for jx in range(w):
         dW = _dot(g, vol_ref[0, jx * dh:(jx + 1) * dh, :],
                   contract=((1,), (1,)))  # (BK, DH)
-        dwx_ref[0, :, jx:jx + 1] = (dW * wzy32).sum(axis=1, keepdims=True)
-        term = wx_ref[0][:, jx:jx + 1].astype(jnp.float32) * dW
+        dwf_ref[0, :, jx:jx + 1] = (dW * wzy32).sum(axis=1, keepdims=True)
+        term = wx[:, jx:jx + 1].astype(jnp.float32) * dW
         dwzy_acc = term if dwzy_acc is None else dwzy_acc + term
     sel_z, sel_y = _sel_matrices(d, h, jnp.float32)
-    dwz_ref[0] = _dot(dwzy_acc * wy_rep, sel_z, contract=((1,), (1,)))
-    dwy_ref[0] = _dot(dwzy_acc * wz_rep, sel_y, contract=((1,), (1,)))
+    dwf_ref[0, :, w:w + h] = _dot(dwzy_acc * wz_rep, sel_y,
+                                  contract=((1,), (1,)))
+    dwf_ref[0, :, w + h:w + h + d] = _dot(dwzy_acc * wy_rep, sel_z,
+                                          contract=((1,), (1,)))
 
 
-def _kernel_bwd_vol(wx_ref, wy_ref, wz_ref, g_ref, out_ref, *, w,
+def _kernel_bwd_vol(wf_ref, g_ref, out_ref, *, w, h, d,
                     compute_dtype, group):
     """dvol[jx*DH + zy, c] += (wx[:, jx] * w_zy)^T @ g over K tiles (and
     over each object's ``group`` hypotheses when the volume is shared)."""
-    dh = wz_ref.shape[2] * wy_ref.shape[2]
+    dh = d * h
     k_step = pl.program_id(1)
     first = k_step == 0
     if group > 1:
@@ -186,9 +196,10 @@ def _kernel_bwd_vol(wx_ref, wy_ref, wz_ref, g_ref, out_ref, *, w,
         # contiguous hypothesis block starts its accumulator.
         first = jnp.logical_and(pl.program_id(0) % group == 0, first)
     g = g_ref[0]
-    wzy, _, _ = _zy_tile(wz_ref[0], wy_ref[0], jnp.float32)
+    wx, wy, wz = _unpack_factors(wf_ref[0], w, h, d)
+    wzy, _, _ = _zy_tile(wz, wy, jnp.float32)
     for jx in range(w):
-        tap = (wx_ref[0][:, jx:jx + 1].astype(jnp.float32)
+        tap = (wx[:, jx:jx + 1].astype(jnp.float32)
                * wzy).astype(compute_dtype)  # (BK, DH)
         partial = _dot(tap, g, contract=((0,), (0,)))  # (DH, C)
 
@@ -225,12 +236,11 @@ def _factor_spec(width):
                         memory_space=pltpu.VMEM)
 
 
-def _fused_core(out_dtype, vol_x, wx, wy, wz):
+def _fused_core(out_dtype, w, h, d, vol_x, wf):
     """vol_x: (NV, J', C) volume flattened in (x, z, y) order, bf16, with
-    NV | N; wx: (N, Kp, W), wy: (N, Kp, H), wz: (N, Kp, D) factors.
+    NV | N; wf: (N, Kp, W+H+D) packed per-axis factors.
     Returns (N, Kp, C) in ``out_dtype`` (fp32 accumulation)."""
-    n, kp, w = wx.shape
-    d, h = wz.shape[2], wy.shape[2]
+    n, kp, f = wf.shape
     dh = d * h
     nv, _, c = vol_x.shape
     # Per-slab (BK,DH)@(DH,C) dots + in-lane wx weighting over n*kp/BK
@@ -239,12 +249,10 @@ def _fused_core(out_dtype, vol_x, wx, wy, wz):
     _record("fused_fwd", 2.0 * n * kp * w * dh * c + 2.0 * n * kp * w * c
             + 2.0 * n * kp * (d + h) * dh)
     return pl.pallas_call(
-        functools.partial(_kernel_fwd, w=w, out_dtype=out_dtype),
+        functools.partial(_kernel_fwd, w=w, h=h, d=d, out_dtype=out_dtype),
         grid=(n, kp // _BK),
         in_specs=[
-            _factor_spec(w),
-            _factor_spec(h),
-            _factor_spec(d),
+            _factor_spec(f),
             pl.BlockSpec((1, w * dh, c), _vol_index_map(nv, n),
                          memory_space=pltpu.VMEM),
         ],
@@ -252,23 +260,22 @@ def _fused_core(out_dtype, vol_x, wx, wy, wz):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, kp, c), out_dtype),
         interpret=_interpret(),
-    )(wx, wy, wz, vol_x)
+    )(wf, vol_x)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_sample(out_dtype, vol_x, wx, wy, wz):
-    return _fused_core(out_dtype, vol_x, wx, wy, wz)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_sample(out_dtype, w, h, d, vol_x, wf):
+    return _fused_core(out_dtype, w, h, d, vol_x, wf)
 
 
-def _fused_fwd(out_dtype, vol_x, wx, wy, wz):
-    return _fused_core(out_dtype, vol_x, wx, wy, wz), (vol_x, wx, wy, wz)
+def _fused_fwd(out_dtype, w, h, d, vol_x, wf):
+    return _fused_core(out_dtype, w, h, d, vol_x, wf), (vol_x, wf)
 
 
-def _fused_bwd(out_dtype, res, g):
-    vol_x, wx, wy, wz = res
+def _fused_bwd(out_dtype, w, h, d, res, g):
+    vol_x, wf = res
     compute_dtype = vol_x.dtype
-    n, kp, w = wx.shape
-    d, h = wz.shape[2], wy.shape[2]
+    n, kp, f = wf.shape
     dh = d * h
     nv, _, c = vol_x.shape
     g16 = g.astype(compute_dtype)
@@ -277,43 +284,31 @@ def _fused_bwd(out_dtype, res, g):
     _record("fused_bwd_grid",
             2.0 * n * kp * w * dh * c + 3.0 * n * kp * w * dh
             + 4.0 * n * kp * (d + h) * dh)
-    dwx, dwy, dwz = pl.pallas_call(
-        _kernel_bwd_grid,
+    dwf = pl.pallas_call(
+        functools.partial(_kernel_bwd_grid, w=w, h=h, d=d),
         grid=(n, kp // _BK),
         in_specs=[
-            _factor_spec(w),
-            _factor_spec(h),
-            _factor_spec(d),
+            _factor_spec(f),
             pl.BlockSpec((1, _BK, c), lambda ni, ki: (ni, ki, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w * dh, c), _vol_index_map(nv, n),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            _factor_spec(w),
-            _factor_spec(h),
-            _factor_spec(d),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, kp, w), jnp.float32),
-            jax.ShapeDtypeStruct((n, kp, h), jnp.float32),
-            jax.ShapeDtypeStruct((n, kp, d), jnp.float32),
-        ],
+        out_specs=_factor_spec(f),
+        out_shape=jax.ShapeDtypeStruct((n, kp, f), jnp.float32),
         interpret=_interpret(),
-    )(wx, wy, wz, g16, vol_x)
+    )(wf, g16, vol_x)
 
     # Tap rebuild (n*kp*J VPU) + (DH,BK)@(BK,C) accumulation dots.
     _record("fused_bwd_vol",
             2.0 * n * kp * w * dh * c + 1.0 * n * kp * w * dh
             + 2.0 * n * kp * (d + h) * dh)
     dvol = pl.pallas_call(
-        functools.partial(_kernel_bwd_vol, w=w,
+        functools.partial(_kernel_bwd_vol, w=w, h=h, d=d,
                           compute_dtype=compute_dtype, group=n // nv),
         grid=(n, kp // _BK),
         in_specs=[
-            _factor_spec(w),
-            _factor_spec(h),
-            _factor_spec(d),
+            _factor_spec(f),
             pl.BlockSpec((1, _BK, c), lambda ni, ki: (ni, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -321,10 +316,9 @@ def _fused_bwd(out_dtype, res, g):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nv, w * dh, c), jnp.float32),
         interpret=_interpret(),
-    )(wx, wy, wz, g16)
+    )(wf, g16)
 
-    return (dvol.astype(vol_x.dtype), dwx.astype(wx.dtype),
-            dwy.astype(wy.dtype), dwz.astype(wz.dtype))
+    return (dvol.astype(vol_x.dtype), dwf.astype(wf.dtype))
 
 
 _fused_sample.defvjp(_fused_fwd, _fused_bwd)
@@ -379,14 +373,15 @@ def grid_sample_3d_fused(input, grid, padding_mode: str = "zeros",
     wx = _axis_factor(x, w, padding_mode, compute_dtype)
     wy = _axis_factor(y, h, padding_mode, compute_dtype)
     wz = _axis_factor(z, d, padding_mode, compute_dtype)
+    # Packed (N, K, W+H+D) factor operand — one staged HBM operand per
+    # kernel (see _unpack_factors).
+    wf = jnp.concatenate([wx, wy, wz], axis=-1)
 
     kp = _round_up(k, _BK)
     if kp != k:
-        wx = jnp.pad(wx, ((0, 0), (0, kp - k), (0, 0)))
-        wy = jnp.pad(wy, ((0, 0), (0, kp - k), (0, 0)))
-        wz = jnp.pad(wz, ((0, 0), (0, kp - k), (0, 0)))
+        wf = jnp.pad(wf, ((0, 0), (0, kp - k), (0, 0)))
 
-    out = _fused_sample(out_dtype, vol_x, wx, wy, wz)[:, :k]  # (N, K, C)
+    out = _fused_sample(out_dtype, w, h, d, vol_x, wf)[:, :k]  # (N, K, C)
     if channels_last:
         return out.reshape(n, *out_spatial, c)
     return out.reshape(n, *out_spatial, c).transpose(0, 4, 1, 2, 3)

@@ -625,18 +625,6 @@ class CrossEntropyPoseEstimator(PoseEstimator):
     def _estimate(self, z_obj, target_obs, key=None, cameras=None, **kwargs):
         if key is None:
             key = jax.random.PRNGKey(0)
-        if cameras is not None:
-            camera_init = cameras[0]
-            init_cameras = cameras
-        else:
-            camera_init = self.initial_pose(target_obs)
-            key, sub = jax.random.split(key)
-            init_cameras = pu.sample_cameras_with_estimate(
-                n=self.num_gmm_components * self.num_samples,
-                camera_est=camera_init,
-                upright=self.init_upright,
-                hemisphere=self.init_hemisphere,
-                key=sub)
 
         use_latent = self.loss_weights.get("latent", 0.0) > 0.0
         num_draw = (self.num_samples // 4 if self.sample_flipped
@@ -703,6 +691,42 @@ class CrossEntropyPoseEstimator(PoseEstimator):
             state = jax.lax.fori_loop(0, self.num_iters, body, state)
             return state[3]
 
+        def run_from_obs(key, z_obj, target_obs):
+            """Translation init + hypothesis sampling + the CEM loop in ONE
+            jit: the eager prologue (initial_pose, camera sampling,
+            params packing) cost ~10 ms per dispatch on the tunneled
+            backend — a few hundred ms per estimate() call."""
+            camera_init = self.initial_pose(target_obs)
+            key, sub = jax.random.split(key)
+            init_cameras = pu.sample_cameras_with_estimate(
+                n=self.num_gmm_components * self.num_samples,
+                camera_est=camera_init,
+                upright=self.init_upright,
+                hemisphere=self.init_hemisphere,
+                key=sub)
+            ranking = run(key, self._camera_to_params(init_cameras),
+                          z_obj, target_obs, camera_init)
+            return ranking, camera_init
+
+        if cameras is None and self.mesh is None:
+            if getattr(self, "_run_obs_jit", None) is None:
+                self._run_obs_jit = jax.jit(run_from_obs)
+            ranking, camera_init = self._run_obs_jit(key, z_obj, target_obs)
+            logger.info("best camera loss=%s", ranking.losses[0])
+            return _ranking_to_camera_jit(ranking, camera_init)
+
+        if cameras is not None:
+            camera_init = cameras[0]
+            init_cameras = cameras
+        else:
+            camera_init = self.initial_pose(target_obs)
+            key, sub = jax.random.split(key)
+            init_cameras = pu.sample_cameras_with_estimate(
+                n=self.num_gmm_components * self.num_samples,
+                camera_est=camera_init,
+                upright=self.init_upright,
+                hemisphere=self.init_hemisphere,
+                key=sub)
         if self._run_jit is None:
             self._run_jit = jax.jit(run)
         init_params, z_obj, target_obs = self._shard_hypotheses(
