@@ -149,8 +149,20 @@ def default_pose_loss(target: Observation, z_pred_depth, z_pred_mask_logits,
 
 
 def weigh_losses(loss_dict, weight_dict):
-    """(reference: estimation.py:121-126)"""
-    return {k: weight_dict.get(k, 0.0) * v for k, v in loss_dict.items()}
+    """(reference: estimation.py:121-126)
+
+    Losses with a *statically* zero weight are dropped in Python rather
+    than multiplied by 0.0: XLA's algebraic simplifier does not reliably
+    eliminate ``0 * bce(...)`` through the backward pass (0*NaN hazard),
+    so keeping them would pay the unused mask/IoU fwd+bwd chains every
+    refinement iteration. Traced (array) weights are always kept."""
+    out = {}
+    for k, v in loss_dict.items():
+        w = weight_dict.get(k, 0.0)
+        if isinstance(w, (int, float)) and w == 0.0:
+            continue
+        out[k] = w * v
+    return out
 
 
 # -------------------------------------------------------------------- ranking

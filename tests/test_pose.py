@@ -394,3 +394,21 @@ class TestMetropolisBatch:
             # losses and poses near the depth-based init (z ~ 3.9).
             assert np.isfinite(np.asarray(best.translation)).all()
             assert 3.0 < float(best.translation[0, 2]) < 5.0
+
+
+class TestWeighLosses:
+    def test_static_zero_weights_dropped(self):
+        """Zero Python-float weights must drop the term entirely (so the
+        mask/IoU chains are DCE'd from the refinement loop) while traced
+        array weights are always kept (learned-weight distillation)."""
+        loss_dict = {"depth": jnp.ones(4), "mask": jnp.full(4, 7.0),
+                     "iou": jnp.full(4, 9.0)}
+        out = estimation.weigh_losses(
+            loss_dict, {"depth": 1.0, "mask": 0.0})
+        assert set(out) == {"depth"}  # iou missing from weights -> 0.0
+        np.testing.assert_allclose(np.asarray(out["depth"]), 1.0)
+
+        traced = estimation.weigh_losses(
+            loss_dict, {"depth": jnp.array(0.0), "mask": 2.0})
+        assert set(traced) == {"depth", "mask"}
+        np.testing.assert_allclose(np.asarray(traced["mask"]), 14.0)
