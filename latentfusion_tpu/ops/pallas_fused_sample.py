@@ -24,15 +24,17 @@ everything stays 2D, which Mosaic lowers cleanly; 3D broadcast/reshape
 variants hit "insertion of minor dim" limitations on v5e). Earlier
 revisions materialized w_zy in HBM as a kernel input: at the CEM shape
 that cost ~0.8 GB/iteration of write+read traffic plus an XLA layout
-copy — all gone now that only the (N, K, 16) factors cross HBM.
+copy — all gone now that only the (N, K, 8) coordinates cross HBM.
 
-Custom VJP (boundary at ``(vol, wx, wy, wz)``; the chain from the grid
-coordinates through the per-axis factor construction is ordinary XLA
-autodiff outside the kernel):
-- d/dwx, d/dwy, d/dwz: per-slab ``dW_jx = g @ vol[jx]^T`` MXU dots in
-  VMEM; the (N, K, J) cotangent never touches HBM. The w_zy cotangent is
-  reduced separably in VMEM (``dwz = (dW_zy * wy_rep) @ S^T``,
-  ``dwy = (dW_zy * wz_rep) @ T^T``) so only (N, K, 16) factors come back.
+Custom VJP (boundary at ``(vol, coords)`` — the per-axis factor
+construction AND its derivative live inside the kernels; only the
+linear ``_unnormalize`` chain from the [-1, 1] grid is outside):
+- d/dcoords: per-slab ``dW_jx = g @ vol[jx]^T`` MXU dots in VMEM; the
+  (N, K, J) cotangent never touches HBM. The w_zy cotangent is reduced
+  separably in VMEM (``dwz = (dW_zy * wy_rep) @ S^T``, ``dwy = (dW_zy *
+  wz_rep) @ T^T``), then each per-axis factor cotangent contracts with
+  the ±1 tap-derivative selections so only the (N, K, 8) coordinate
+  gradient crosses HBM.
 - d/dvol: ``(wx[:, jx] * w_zy)^T @ g`` accumulated over K tiles into a
   VMEM-resident block. Dead (DCE'd by XLA — it is a separate
   ``pallas_call`` feeding only the vol cotangent) in pose refinement
@@ -136,20 +138,55 @@ def _zy_tile(wz, wy, compute_dtype):
     return (wz_rep * wy_rep).astype(compute_dtype), wz_rep, wy_rep
 
 
-def _unpack_factors(wf, w, h, d):
-    """wf: (BK, W+H+D) packed per-axis factors -> (wx, wy, wz) lane
-    slices. ONE packed HBM operand per kernel instead of three: each
-    async operand staging copy has a fixed latency on this backend
-    (profiled ~0.3-0.6 ms per slice-start at the 8-hypothesis refinement
-    shape), so operand count — not bytes — is what shows up in the loop."""
-    return wf[:, :w], wf[:, w:w + h], wf[:, w + h:w + h + d]
+def _axis_factor_vmem(x, size, padding_mode, dtype):
+    """(BK, size) two-tap factor built IN VMEM from the (BK, 1) pixel
+    coordinate — the kernel-side twin of ``gather_matmul._axis_factor``
+    (identical math incl. the rounding to the compute dtype, so the fused
+    path matches the matmul backend bit-for-bit). Building factors in the
+    kernel replaces the (N, K, W+H+D) packed-factor HBM operand with an
+    (N, K, 8) coordinate operand: each staged operand costs fixed async
+    latency in the refinement loop (profiled ~0.3-0.6 ms/slice-start at
+    the 8-hypothesis shape), and the XLA-side factor-construction
+    fwd+bwd fusions disappear entirely."""
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, size - 1)
+    i0 = jnp.floor(x)
+    w1 = x - i0
+    j = jax.lax.broadcasted_iota(jnp.float32, (x.shape[0], size), 1)
+    f = ((j == i0) * (1.0 - w1) + (j == (i0 + 1)) * w1)
+    return f.astype(dtype)
 
 
-def _kernel_fwd(wf_ref, vol_ref, out_ref, *, w, h, d, out_dtype):
+def _axis_dfactor_vmem(x, size, padding_mode):
+    """(BK, size) d(factor)/dx selection: +1 at the ceil tap, -1 at the
+    floor tap (the floor() indicator itself carries no gradient), masked
+    to zero where border clipping saturates — exactly XLA autodiff of
+    ``_axis_factor``."""
+    xc = jnp.clip(x, 0.0, size - 1) if padding_mode == "border" else x
+    i0 = jnp.floor(xc)
+    j = jax.lax.broadcasted_iota(jnp.float32, (x.shape[0], size), 1)
+    df = (j == (i0 + 1)).astype(jnp.float32) - (j == i0).astype(jnp.float32)
+    if padding_mode == "border":
+        valid = ((x >= 0.0) & (x <= size - 1)).astype(jnp.float32)
+        df = df * valid
+    return df
+
+
+def _factors_from_coords(cf, w, h, d, padding_mode, dtype):
+    """cf: (BK, 8) padded (x, y, z) pixel coords -> per-axis factors."""
+    wx = _axis_factor_vmem(cf[:, 0:1], w, padding_mode, dtype)
+    wy = _axis_factor_vmem(cf[:, 1:2], h, padding_mode, dtype)
+    wz = _axis_factor_vmem(cf[:, 2:3], d, padding_mode, dtype)
+    return wx, wy, wz
+
+
+def _kernel_fwd(cf_ref, vol_ref, out_ref, *, w, h, d, padding_mode,
+                out_dtype):
     """out[k, c] = sum_jx wx[k, jx] * ((wz (x) wy) @ vol[jx])[k, c]."""
     compute_dtype = vol_ref.dtype
     dh = d * h
-    wx, wy, wz = _unpack_factors(wf_ref[0], w, h, d)
+    wx, wy, wz = _factors_from_coords(cf_ref[0], w, h, d, padding_mode,
+                                      compute_dtype)
     wzy, _, _ = _zy_tile(wz, wy, compute_dtype)
     acc = None
     for jx in range(w):
@@ -159,32 +196,43 @@ def _kernel_fwd(wf_ref, vol_ref, out_ref, *, w, h, d, out_dtype):
     out_ref[0] = acc.astype(out_dtype)
 
 
-def _kernel_bwd_grid(wf_ref, g_ref, vol_ref, dwf_ref, *, w, h, d):
+def _kernel_bwd_grid(cf_ref, g_ref, vol_ref, dcf_ref, *, w, h, d,
+                     padding_mode):
     """Per-slab dW_jx = g @ vol[jx]^T (MXU, VMEM-resident), then separable
-    VPU/MXU reductions: dwx[:, jx] = sum_zy dW_jx * w_zy; the accumulated
-    w_zy cotangent reduces to dwz / dwy through the selection matrices —
-    only the packed (BK, W+H+D) factor gradient leaves the kernel."""
+    VPU/MXU reductions: the per-axis factor cotangents contract with the
+    tap derivatives (±1 selections) IN VMEM — only the (BK, 8) coordinate
+    gradient leaves the kernel."""
     compute_dtype = vol_ref.dtype
     dh = d * h
     g = g_ref[0]
-    wx, wy, wz = _unpack_factors(wf_ref[0], w, h, d)
+    cf = cf_ref[0]
+    wx, wy, wz = _factors_from_coords(cf, w, h, d, padding_mode,
+                                      compute_dtype)
     wzy, wz_rep, wy_rep = _zy_tile(wz, wy, compute_dtype)
     wzy32 = wzy.astype(jnp.float32)
+    dfx = _axis_dfactor_vmem(cf[:, 0:1], w, padding_mode)
+    dfy = _axis_dfactor_vmem(cf[:, 1:2], h, padding_mode)
+    dfz = _axis_dfactor_vmem(cf[:, 2:3], d, padding_mode)
+    dx_acc = jnp.zeros((cf.shape[0], 1), jnp.float32)
     dwzy_acc = None
     for jx in range(w):
         dW = _dot(g, vol_ref[0, jx * dh:(jx + 1) * dh, :],
                   contract=((1,), (1,)))  # (BK, DH)
-        dwf_ref[0, :, jx:jx + 1] = (dW * wzy32).sum(axis=1, keepdims=True)
+        dwx_col = (dW * wzy32).sum(axis=1, keepdims=True)
+        dx_acc = dx_acc + dwx_col * dfx[:, jx:jx + 1]
         term = wx[:, jx:jx + 1].astype(jnp.float32) * dW
         dwzy_acc = term if dwzy_acc is None else dwzy_acc + term
     sel_z, sel_y = _sel_matrices(d, h, jnp.float32)
-    dwf_ref[0, :, w:w + h] = _dot(dwzy_acc * wz_rep, sel_y,
-                                  contract=((1,), (1,)))
-    dwf_ref[0, :, w + h:w + h + d] = _dot(dwzy_acc * wy_rep, sel_z,
-                                          contract=((1,), (1,)))
+    dwy = _dot(dwzy_acc * wz_rep, sel_y, contract=((1,), (1,)))  # (BK, H)
+    dwz = _dot(dwzy_acc * wy_rep, sel_z, contract=((1,), (1,)))  # (BK, D)
+    dcf_ref[0, :, 0:1] = dx_acc
+    dcf_ref[0, :, 1:2] = (dwy * dfy).sum(axis=1, keepdims=True)
+    dcf_ref[0, :, 2:3] = (dwz * dfz).sum(axis=1, keepdims=True)
+    dcf_ref[0, :, 3:] = jnp.zeros((cf.shape[0], cf.shape[1] - 3),
+                                  jnp.float32)
 
 
-def _kernel_bwd_vol(wf_ref, g_ref, out_ref, *, w, h, d,
+def _kernel_bwd_vol(cf_ref, g_ref, out_ref, *, w, h, d, padding_mode,
                     compute_dtype, group):
     """dvol[jx*DH + zy, c] += (wx[:, jx] * w_zy)^T @ g over K tiles (and
     over each object's ``group`` hypotheses when the volume is shared)."""
@@ -196,7 +244,8 @@ def _kernel_bwd_vol(wf_ref, g_ref, out_ref, *, w, h, d,
         # contiguous hypothesis block starts its accumulator.
         first = jnp.logical_and(pl.program_id(0) % group == 0, first)
     g = g_ref[0]
-    wx, wy, wz = _unpack_factors(wf_ref[0], w, h, d)
+    wx, wy, wz = _factors_from_coords(cf_ref[0], w, h, d, padding_mode,
+                                      compute_dtype)
     wzy, _, _ = _zy_tile(wz, wy, jnp.float32)
     for jx in range(w):
         tap = (wx[:, jx:jx + 1].astype(jnp.float32)
@@ -236,20 +285,21 @@ def _factor_spec(width):
                         memory_space=pltpu.VMEM)
 
 
-def _fused_core(out_dtype, w, h, d, vol_x, wf):
+def _fused_core(out_dtype, w, h, d, padding_mode, vol_x, coords):
     """vol_x: (NV, J', C) volume flattened in (x, z, y) order, bf16, with
-    NV | N; wf: (N, Kp, W+H+D) packed per-axis factors.
+    NV | N; coords: (N, Kp, 8) f32 padded (x, y, z) pixel coordinates.
     Returns (N, Kp, C) in ``out_dtype`` (fp32 accumulation)."""
-    n, kp, f = wf.shape
+    n, kp, f = coords.shape
     dh = d * h
     nv, _, c = vol_x.shape
     # Per-slab (BK,DH)@(DH,C) dots + in-lane wx weighting over n*kp/BK
     # tiles and w slabs (2*n*kp*(w*dh)*c MXU flops), plus the per-tile
-    # w_zy build (two (BK,D|H)@(D|H,DH) selection dots).
+    # factor build + w_zy selection dots.
     _record("fused_fwd", 2.0 * n * kp * w * dh * c + 2.0 * n * kp * w * c
-            + 2.0 * n * kp * (d + h) * dh)
+            + 2.0 * n * kp * (d + h) * dh + 8.0 * n * kp * (w + h + d))
     return pl.pallas_call(
-        functools.partial(_kernel_fwd, w=w, h=h, d=d, out_dtype=out_dtype),
+        functools.partial(_kernel_fwd, w=w, h=h, d=d,
+                          padding_mode=padding_mode, out_dtype=out_dtype),
         grid=(n, kp // _BK),
         in_specs=[
             _factor_spec(f),
@@ -260,22 +310,23 @@ def _fused_core(out_dtype, w, h, d, vol_x, wf):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, kp, c), out_dtype),
         interpret=_interpret(),
-    )(wf, vol_x)
+    )(coords, vol_x)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _fused_sample(out_dtype, w, h, d, vol_x, wf):
-    return _fused_core(out_dtype, w, h, d, vol_x, wf)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused_sample(out_dtype, w, h, d, padding_mode, vol_x, coords):
+    return _fused_core(out_dtype, w, h, d, padding_mode, vol_x, coords)
 
 
-def _fused_fwd(out_dtype, w, h, d, vol_x, wf):
-    return _fused_core(out_dtype, w, h, d, vol_x, wf), (vol_x, wf)
+def _fused_fwd(out_dtype, w, h, d, padding_mode, vol_x, coords):
+    return (_fused_core(out_dtype, w, h, d, padding_mode, vol_x, coords),
+            (vol_x, coords))
 
 
-def _fused_bwd(out_dtype, w, h, d, res, g):
-    vol_x, wf = res
+def _fused_bwd(out_dtype, w, h, d, padding_mode, res, g):
+    vol_x, coords = res
     compute_dtype = vol_x.dtype
-    n, kp, f = wf.shape
+    n, kp, f = coords.shape
     dh = d * h
     nv, _, c = vol_x.shape
     g16 = g.astype(compute_dtype)
@@ -283,9 +334,10 @@ def _fused_bwd(out_dtype, w, h, d, res, g):
     # dW_jx dots (2*n*kp*J*c) + separable reductions (VPU + selection dots).
     _record("fused_bwd_grid",
             2.0 * n * kp * w * dh * c + 3.0 * n * kp * w * dh
-            + 4.0 * n * kp * (d + h) * dh)
-    dwf = pl.pallas_call(
-        functools.partial(_kernel_bwd_grid, w=w, h=h, d=d),
+            + 4.0 * n * kp * (d + h) * dh + 16.0 * n * kp * (w + h + d))
+    dcoords = pl.pallas_call(
+        functools.partial(_kernel_bwd_grid, w=w, h=h, d=d,
+                          padding_mode=padding_mode),
         grid=(n, kp // _BK),
         in_specs=[
             _factor_spec(f),
@@ -297,14 +349,15 @@ def _fused_bwd(out_dtype, w, h, d, res, g):
         out_specs=_factor_spec(f),
         out_shape=jax.ShapeDtypeStruct((n, kp, f), jnp.float32),
         interpret=_interpret(),
-    )(wf, g16, vol_x)
+    )(coords, g16, vol_x)
 
     # Tap rebuild (n*kp*J VPU) + (DH,BK)@(BK,C) accumulation dots.
     _record("fused_bwd_vol",
             2.0 * n * kp * w * dh * c + 1.0 * n * kp * w * dh
-            + 2.0 * n * kp * (d + h) * dh)
+            + 2.0 * n * kp * (d + h) * dh + 8.0 * n * kp * (w + h + d))
     dvol = pl.pallas_call(
         functools.partial(_kernel_bwd_vol, w=w, h=h, d=d,
+                          padding_mode=padding_mode,
                           compute_dtype=compute_dtype, group=n // nv),
         grid=(n, kp // _BK),
         in_specs=[
@@ -316,9 +369,9 @@ def _fused_bwd(out_dtype, w, h, d, res, g):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nv, w * dh, c), jnp.float32),
         interpret=_interpret(),
-    )(wf, g16)
+    )(coords, g16)
 
-    return (dvol.astype(vol_x.dtype), dwf.astype(wf.dtype))
+    return (dvol.astype(vol_x.dtype), dcoords)
 
 
 _fused_sample.defvjp(_fused_fwd, _fused_bwd)
@@ -370,18 +423,19 @@ def grid_sample_3d_fused(input, grid, padding_mode: str = "zeros",
     x = _unnormalize(g[..., 0], w)
     y = _unnormalize(g[..., 1], h)
     z = _unnormalize(g[..., 2], d)
-    wx = _axis_factor(x, w, padding_mode, compute_dtype)
-    wy = _axis_factor(y, h, padding_mode, compute_dtype)
-    wz = _axis_factor(z, d, padding_mode, compute_dtype)
-    # Packed (N, K, W+H+D) factor operand — one staged HBM operand per
-    # kernel (see _unpack_factors).
-    wf = jnp.concatenate([wx, wy, wz], axis=-1)
+    # (N, K, 8) padded pixel-coordinate operand — factors are built inside
+    # the kernels (see _axis_factor_vmem). K-padding uses -2.0 (out of
+    # range -> zero taps, zero derivative in both padding modes).
+    coords = jnp.stack([x, y, z], axis=-1)
+    coords = jnp.pad(coords, ((0, 0), (0, 0), (0, 5)))
 
     kp = _round_up(k, _BK)
     if kp != k:
-        wf = jnp.pad(wf, ((0, 0), (0, kp - k), (0, 0)))
+        coords = jnp.pad(coords, ((0, 0), (0, kp - k), (0, 0)),
+                         constant_values=-2.0)
 
-    out = _fused_sample(out_dtype, w, h, d, vol_x, wf)[:, :k]  # (N, K, C)
+    out = _fused_sample(out_dtype, w, h, d, padding_mode,
+                        vol_x, coords)[:, :k]  # (N, K, C)
     if channels_last:
         return out.reshape(n, *out_spatial, c)
     return out.reshape(n, *out_spatial, c).transpose(0, 4, 1, 2, 3)

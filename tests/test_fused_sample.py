@@ -129,7 +129,8 @@ def test_record_flops_trace():
     # build (two (BK, D|H) @ (D|H, DH) selection dots per tile).
     n, kp, j, c, d, h = 2, 512, 512, 128, 8, 8
     expect = (2 * n * kp * j * c + 2 * n * kp * 8 * c
-              + 2 * n * kp * (d + h) * d * h)
+              + 2 * n * kp * (d + h) * d * h
+              + 8 * n * kp * (8 + 8 + 8))  # in-kernel factor build
     assert abs(tr[0][1] - expect) < 1e3
 
     with record_flops() as tr2:
