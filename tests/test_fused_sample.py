@@ -101,6 +101,38 @@ def test_shared_volume_batch1(rng):
                                np.asarray(gg_m) / scale_g, atol=1e-4)
 
 
+def test_shared_volume_groups(rng):
+    """NV=2 volumes serving N=4 hypotheses (multi-object estimate_batch:
+    object-major contiguous hypothesis blocks): each object's volume block
+    serves its own hypotheses, and d/dvol accumulates per object over its
+    group — exercising the group>1 first-step reset in _kernel_bwd_vol."""
+    vol = jnp.asarray(rng.randn(2, 128, 8, 8, 8).astype(np.float32))
+    grid = jnp.asarray(
+        (rng.rand(4, 8, 8, 8, 3) * 2.2 - 1.1).astype(np.float32))
+    vol_b = jnp.repeat(vol, 2, axis=0)  # object-major: [v0, v0, v1, v1]
+
+    out = grid_sample_3d_fused(vol, grid, padding_mode="border")
+    ref = grid_sample_3d_matmul(vol_b, grid, padding_mode="border")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def loss_f(v, g):
+        return (grid_sample_3d_fused(v, g, padding_mode="border") ** 2).sum()
+
+    def loss_m(v, g):
+        return (grid_sample_3d_matmul(
+            jnp.repeat(v, 2, axis=0), g, padding_mode="border") ** 2).sum()
+
+    gv_f, gg_f = jax.grad(loss_f, argnums=(0, 1))(vol, grid)
+    gv_m, gg_m = jax.grad(loss_m, argnums=(0, 1))(vol, grid)
+    assert gv_f.shape == vol.shape
+    scale_v = np.abs(np.asarray(gv_m)).max() + 1e-9
+    scale_g = np.abs(np.asarray(gg_m)).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(gv_f) / scale_v,
+                               np.asarray(gv_m) / scale_v, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gg_f) / scale_g,
+                               np.asarray(gg_m) / scale_g, atol=1e-4)
+
+
 def test_qualification_gate():
     assert fused_qualifies((16, 16, 16), 256, 4096)
     assert not fused_qualifies((16, 16, 16), 4, 4096)      # tiny channels
