@@ -171,6 +171,10 @@ def main():
     parser.add_argument("--refine-remat", action="store_true",
                         help="rematerialize the refinement decode in the "
                              "backward (estimation.set_refine_remat)")
+    parser.add_argument("--refine-unroll", type=int, default=1,
+                        help="unroll the refinement while-body N iterations "
+                             "per loop step (bit-exact masked unroll; "
+                             "estimation.set_refine_unroll)")
     parser.add_argument("--mode", default="gradient",
                         choices=["gradient", "cem", "full", "train"],
                         help="gradient = adam_quick refinement (fwd+bwd); "
@@ -210,6 +214,8 @@ def main():
 
     if args.refine_remat:
         estimation.set_refine_remat(True)
+    if args.refine_unroll != 1:
+        estimation.set_refine_unroll(args.refine_unroll)
     from latentfusion_tpu.recon.inference import LatentFusionModel
 
     key = jax.random.PRNGKey(0)

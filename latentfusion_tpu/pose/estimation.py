@@ -105,6 +105,31 @@ def get_refine_remat() -> bool:
     return _REFINE_REMAT
 
 
+_REFINE_UNROLL = 1
+
+
+def set_refine_unroll(n: int) -> None:
+    """Unroll the refinement while-body N iterations per loop step.
+
+    Bit-exact with N=1: each unrolled copy past the first applies its
+    state update through a ``jnp.where(active, new, old)`` mask, where
+    ``active`` is the loop's own continuation predicate — a converged (or
+    step-exhausted) state is a fixpoint, so the only cost of overshoot is
+    up to N-1 wasted decode fwd+bwds at exit. The win is per-iteration
+    fixed overhead: XLA CSEs the loop-invariant operand slices (conv
+    kernels, target chunks) across the unrolled copies, amortizing the
+    async staging latency the round-3 profile showed dominating the
+    8-hypothesis while body. A/B via bench.py --refine-unroll."""
+    global _REFINE_UNROLL
+    if n < 1:
+        raise ValueError("unroll must be >= 1")
+    _REFINE_UNROLL = int(n)
+
+
+def get_refine_unroll() -> int:
+    return _REFINE_UNROLL
+
+
 def _bce_with_logits(logits, targets):
     """Stable binary cross entropy with logits (torch semantics)."""
     return (jnp.maximum(logits, 0) - logits * targets
@@ -1071,7 +1096,9 @@ class GradientPoseEstimator(PoseEstimator):
         total = cameras.length
         views_per_obj = total // num_objects
 
-        jit_key = (num_objects, total)
+        # remat/unroll knobs are read at trace time -> part of the key.
+        jit_key = (num_objects, total, get_refine_remat(),
+                   get_refine_unroll())
         if jit_key in self._run_cache:
             init_params = pu.camera_params(cameras, optimize_viewport=True)
             (init_params, cameras), z_obj, target_obs = (
@@ -1216,7 +1243,26 @@ class GradientPoseEstimator(PoseEstimator):
                 "loss_history": jnp.full((self.num_iters, num_objects),
                                          jnp.nan),
             }
-            state = jax.lax.while_loop(cond, body, state)
+            unroll = get_refine_unroll()
+            if unroll > 1:
+                def masked_body(s):
+                    # Identity once the continuation predicate fails:
+                    # converged state is a fixpoint -> results are
+                    # bit-exact vs unroll=1 (see set_refine_unroll).
+                    new = body(s)
+                    act = cond(s)
+                    return jax.tree_util.tree_map(
+                        lambda n, o: jnp.where(act, n, o), new, s)
+
+                def unrolled(s):
+                    s = body(s)  # entering the body => predicate held
+                    for _ in range(unroll - 1):
+                        s = masked_body(s)
+                    return s
+
+                state = jax.lax.while_loop(cond, unrolled, state)
+            else:
+                state = jax.lax.while_loop(cond, body, state)
             return state["ranking"], state["loss_history"], state["step"]
 
         # Cache the jitted loop: re-creating jax.jit per call would retrace

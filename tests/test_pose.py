@@ -106,6 +106,39 @@ class TestGradient:
         assert t_err_final < t_err_init
         assert rot_err_final < 0.15
 
+    def test_unrolled_loop_bit_exact(self, oracle, gt_setup):
+        """Masked-unroll while body (set_refine_unroll) returns the SAME
+        ranking as unroll=1 — including with early stopping mid-block, the
+        case the jnp.where fixpoint masking exists for."""
+        gt_cam, obs = gt_setup
+        init_cam = pu.perturb_camera(jax.random.PRNGKey(3),
+                                     Camera.cat([gt_cam] * 4), 0.05, 0.03)
+
+        def run():
+            est = estimation.GradientPoseEstimator(
+                model=oracle, ranking_size=4,
+                loss_weights={"depth": 1.0, "ov_depth": 0.3},
+                learning_rate=0.01, num_samples=4, num_iters=21,
+                converge_threshold=1e-3, converge_patience=2,
+                optimizer="adam", track_stats=True)
+            return est.estimate(None, obs, camera=init_cam)
+
+        base, base_stats = run()
+        try:
+            estimation.set_refine_unroll(3)
+            unrolled, un_stats = run()
+        finally:
+            estimation.set_refine_unroll(1)
+
+        np.testing.assert_array_equal(np.asarray(base.translation),
+                                      np.asarray(unrolled.translation))
+        np.testing.assert_array_equal(np.asarray(base.quaternion),
+                                      np.asarray(unrolled.quaternion))
+        # The unrolled loop may only overshoot the stop point by < unroll.
+        n_base = int(base_stats["num_steps"])
+        n_unroll = int(un_stats["num_steps"])
+        assert n_base <= n_unroll < n_base + 3
+
     def test_early_stopping(self, oracle, gt_setup):
         gt_cam, obs = gt_setup
         est = estimation.GradientPoseEstimator(
