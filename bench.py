@@ -457,6 +457,11 @@ def main():
         "iters": args.iters, "elapsed_s": round(elapsed, 3),
         "cold_compile_s": round(cold_s, 1),
         "device_kind": device_kind,
+        "knobs": {"fp32": bool(args.fp32), "objects": args.objects,
+                  "refine_remat": bool(args.refine_remat),
+                  "refine_unroll": args.refine_unroll,
+                  "layout": args.layout,
+                  "volume_backend": args.volume_backend},
         "tpu_mix_flops_per_hyp": (None if tpu_flops_per_hyp
                                   != tpu_flops_per_hyp
                                   else round(tpu_flops_per_hyp)),

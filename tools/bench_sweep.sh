@@ -15,6 +15,8 @@ run() {
 }
 
 run                              # gradient, 8 hyp (north star)
+run --refine-unroll 2            # masked-unroll A/B (bit-exact)
+run --refine-unroll 4
 run --hypotheses 32              # saturated refinement
 run --objects 4                  # multi-object batched refinement
 run --fp32                       # precision A/B
