@@ -9,11 +9,15 @@ import pytest
 ROOT = Path(__file__).parents[1]
 
 
-@pytest.mark.parametrize("mode", ["gradient", "train"])
-def test_bench_tiny_cpu(mode):
+@pytest.mark.parametrize("mode,extra", [
+    ("gradient", []),
+    ("gradient", ["--refine-unroll", "2"]),
+    ("train", []),
+])
+def test_bench_tiny_cpu(mode, extra):
     out = subprocess.run(
         [sys.executable, str(ROOT / "bench.py"), "--cpu", "--tiny",
-         "--iters", "10", "--mode", mode],
+         "--iters", "10", "--mode", mode, *extra],
         capture_output=True, text=True, timeout=900)
     assert out.returncode == 0, out.stderr[-2000:]
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
