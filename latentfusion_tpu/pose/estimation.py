@@ -473,34 +473,40 @@ class MetropolisPoseEstimator(PoseEstimator):
             # the schedule per call, estimation.py:246-249).
             mean_lifetime = -(self.num_iters - 1) / math.log(0.005 / 0.1)
 
-            def body(step, state):
-                key, camera, error, ranking, z_obj, target_obs, t0 = state
-                key, k1, k2 = jax.random.split(key, 3)
-                temperature = t0 * jnp.exp(-step / mean_lifetime)
-                proposal = pu.perturb_camera(k1, camera, self.translation_std,
-                                             self.quaternion_std)
-                z_target_latent = (self.model.compute_latent_code(
-                    target_obs, proposal) if use_latent else None)
-                loss, _ = self._score_hypotheses(z_obj, target_obs, proposal,
-                                                 z_target_latent)
-                transition_prob = jnp.exp((error - loss) / temperature)
-                accept = transition_prob > jax.random.uniform(k2, loss.shape)
-                camera = camera.replace(
-                    log_quaternion=jnp.where(accept[:, None],
-                                             proposal.log_quaternion,
-                                             camera.log_quaternion),
-                    translation=jnp.where(accept[:, None],
-                                          proposal.translation,
-                                          camera.translation))
-                error = jnp.where(accept, loss, error)
-                ranking, _ = update_ranking(ranking, error, camera, step)
-                return (key, camera, error, ranking, z_obj, target_obs, t0)
-
             def run(key, camera, z_obj, target_obs, mean_z):
+                # z_obj/target_obs/t0 closed over run()'s arguments, not
+                # carried (loop-invariant; see the gradient loop's note).
                 t0 = 0.1 / mean_z
+
+                def body(step, state):
+                    key, camera, error, ranking = state
+                    key, k1, k2 = jax.random.split(key, 3)
+                    temperature = t0 * jnp.exp(-step / mean_lifetime)
+                    proposal = pu.perturb_camera(k1, camera,
+                                                 self.translation_std,
+                                                 self.quaternion_std)
+                    z_target_latent = (self.model.compute_latent_code(
+                        target_obs, proposal) if use_latent else None)
+                    loss, _ = self._score_hypotheses(z_obj, target_obs,
+                                                     proposal,
+                                                     z_target_latent)
+                    transition_prob = jnp.exp((error - loss) / temperature)
+                    accept = (transition_prob
+                              > jax.random.uniform(k2, loss.shape))
+                    camera = camera.replace(
+                        log_quaternion=jnp.where(accept[:, None],
+                                                 proposal.log_quaternion,
+                                                 camera.log_quaternion),
+                        translation=jnp.where(accept[:, None],
+                                              proposal.translation,
+                                              camera.translation))
+                    error = jnp.where(accept, loss, error)
+                    ranking, _ = update_ranking(ranking, error, camera, step)
+                    return (key, camera, error, ranking)
+
                 error = jnp.full((self.num_samples,), 100.0)
                 ranking = init_ranking(self.ranking_size)
-                state = (key, camera, error, ranking, z_obj, target_obs, t0)
+                state = (key, camera, error, ranking)
                 state = jax.lax.fori_loop(0, self.num_iters, body, state)
                 return state[3]
 
@@ -550,42 +556,47 @@ class MetropolisPoseEstimator(PoseEstimator):
         use_latent = self.loss_weights.get("latent", 0.0) > 0.0
         mean_lifetime = -(self.num_iters - 1) / math.log(0.005 / 0.1)
 
-        def body(step, state):
-            key, camera, error, ranking, z_obj, target_rep, t0 = state
-            key, k1, k2 = jax.random.split(key, 3)
-            temperature = t0 * jnp.exp(-step / mean_lifetime)
-            proposal = pu.perturb_camera(k1, camera, self.translation_std,
-                                         self.quaternion_std)
-            # target_rep is hypothesis-aligned (B*n frames), so the latent
-            # code pairs each chain with its own object's observation —
-            # same semantics as the single path (reference: estimation.py:282).
-            z_target_latent = (self.model.compute_latent_code(
-                target_rep, proposal) if use_latent else None)
-            loss, _ = self._score_hypotheses(z_obj, target_rep, proposal,
-                                             z_target_latent)
-            transition_prob = jnp.exp((error - loss) / temperature)
-            accept = transition_prob > jax.random.uniform(k2, loss.shape)
-            camera = camera.replace(
-                log_quaternion=jnp.where(accept[:, None],
-                                         proposal.log_quaternion,
-                                         camera.log_quaternion),
-                translation=jnp.where(accept[:, None], proposal.translation,
-                                      camera.translation))
-            error = jnp.where(accept, loss, error)
-            ranking, _ = update_ranking_batch(
-                ranking, error.reshape(num_objects, n),
-                camera.log_quaternion.reshape(num_objects, n, 3),
-                camera.translation.reshape(num_objects, n, 3),
-                camera.viewport.reshape(num_objects, n, 4), step)
-            return (key, camera, error, ranking, z_obj, target_rep, t0)
-
         def run(key, camera, z_obj, target_obs, mean_z):
+            # Loop-invariant operands closed over run()'s arguments, not
+            # carried (see the single-object loop's note).
             target_rep = jax.tree_util.tree_map(
                 lambda x: jnp.repeat(x, n, axis=0), target_obs)
             t0 = 0.1 / mean_z
+
+            def body(step, state):
+                key, camera, error, ranking = state
+                key, k1, k2 = jax.random.split(key, 3)
+                temperature = t0 * jnp.exp(-step / mean_lifetime)
+                proposal = pu.perturb_camera(k1, camera, self.translation_std,
+                                             self.quaternion_std)
+                # target_rep is hypothesis-aligned (B*n frames), so the
+                # latent code pairs each chain with its own object's
+                # observation — same semantics as the single path
+                # (reference: estimation.py:282).
+                z_target_latent = (self.model.compute_latent_code(
+                    target_rep, proposal) if use_latent else None)
+                loss, _ = self._score_hypotheses(z_obj, target_rep, proposal,
+                                                 z_target_latent)
+                transition_prob = jnp.exp((error - loss) / temperature)
+                accept = transition_prob > jax.random.uniform(k2, loss.shape)
+                camera = camera.replace(
+                    log_quaternion=jnp.where(accept[:, None],
+                                             proposal.log_quaternion,
+                                             camera.log_quaternion),
+                    translation=jnp.where(accept[:, None],
+                                          proposal.translation,
+                                          camera.translation))
+                error = jnp.where(accept, loss, error)
+                ranking, _ = update_ranking_batch(
+                    ranking, error.reshape(num_objects, n),
+                    camera.log_quaternion.reshape(num_objects, n, 3),
+                    camera.translation.reshape(num_objects, n, 3),
+                    camera.viewport.reshape(num_objects, n, 4), step)
+                return (key, camera, error, ranking)
+
             error = jnp.full((num_objects * n,), 100.0)
             ranking = init_ranking_batch(num_objects, self.ranking_size)
-            state = (key, camera, error, ranking, z_obj, target_rep, t0)
+            state = (key, camera, error, ranking)
             state = jax.lax.fori_loop(0, self.num_iters, body, state)
             return state[3]
 
@@ -677,54 +688,59 @@ class CrossEntropyPoseEstimator(PoseEstimator):
                 jax.random.normal(k3, (num_draw, 3)) * self.quaternion_std)
             return params
 
-        def body(step, state):
-            (key, prev_gmm, cur_gmm, ranking, z_obj, target_obs,
-             camera_init) = state
-            key, k_samp, k_fit = jax.random.split(key, 3)
-
-            sample_gmm = gmm_lib.blend(prev_gmm, cur_gmm, self.learning_rate)
-            params = sample_poses(k_samp, sample_gmm)
-            cameras = self._params_to_camera(params, camera_init)
-            if self.sample_flipped:
-                cameras = Camera.cat([
-                    cameras,
-                    pu.flip_camera(cameras, (0.0, 0.0, 1.0)),
-                    pu.flip_camera(cameras, (0.0, 1.0, 0.0)),
-                    pu.flip_camera(cameras, (1.0, 0.0, 0.0)),
-                ])
-            cameras = self._constrain_hypotheses(cameras, cameras.length)
-
-            z_target_latent = (self.model.compute_latent_code(
-                target_obs, cameras[0]) if use_latent else None)
-            loss, _ = self._score_hypotheses(z_obj, target_obs, cameras,
-                                             z_target_latent)
-
-            # Annealed elite count as per-sample weights (fixed shape).
-            # Precomputed with host math to match the reference's
-            # int(elite_sched.get(step)) exactly (estimation.py:349) --
-            # the raw f32 schedule admits one extra elite whenever the
-            # annealed count is fractional or near an integer.
-            num_elites = self._elite_table()[step]
-            order = jnp.argsort(loss)
-            rank_of = jnp.zeros_like(order).at[order].set(
-                jnp.arange(loss.shape[0]))
-            elite_w = (rank_of < num_elites).astype(jnp.float32)
-
-            all_params = self._camera_to_params(cameras)
-            new_gmm = gmm_lib.fit(k_fit, all_params, self.num_gmm_components,
-                                  sample_weights=elite_w,
-                                  n_iter=self.gmm_em_iters)
-            ranking, _ = update_ranking(ranking, loss, cameras, step)
-            return (key, cur_gmm, new_gmm, ranking, z_obj, target_obs,
-                    camera_init)
-
         def run(key, init_params, z_obj, target_obs, camera_init):
+            # The large loop-invariant operands (latent volume, target
+            # observation, camera template) are closed over run()'s
+            # arguments, NOT carried in the fori state — carried copies
+            # measured ~19% of loop time in the gradient loop (same
+            # while-HLO), and XLA does not reliably simplify pass-through
+            # tuple elements.
+            def body(step, state):
+                key, prev_gmm, cur_gmm, ranking = state
+                key, k_samp, k_fit = jax.random.split(key, 3)
+
+                sample_gmm = gmm_lib.blend(prev_gmm, cur_gmm,
+                                           self.learning_rate)
+                params = sample_poses(k_samp, sample_gmm)
+                cameras = self._params_to_camera(params, camera_init)
+                if self.sample_flipped:
+                    cameras = Camera.cat([
+                        cameras,
+                        pu.flip_camera(cameras, (0.0, 0.0, 1.0)),
+                        pu.flip_camera(cameras, (0.0, 1.0, 0.0)),
+                        pu.flip_camera(cameras, (1.0, 0.0, 0.0)),
+                    ])
+                cameras = self._constrain_hypotheses(cameras, cameras.length)
+
+                z_target_latent = (self.model.compute_latent_code(
+                    target_obs, cameras[0]) if use_latent else None)
+                loss, _ = self._score_hypotheses(z_obj, target_obs, cameras,
+                                                 z_target_latent)
+
+                # Annealed elite count as per-sample weights (fixed shape).
+                # Precomputed with host math to match the reference's
+                # int(elite_sched.get(step)) exactly (estimation.py:349) --
+                # the raw f32 schedule admits one extra elite whenever the
+                # annealed count is fractional or near an integer.
+                num_elites = self._elite_table()[step]
+                order = jnp.argsort(loss)
+                rank_of = jnp.zeros_like(order).at[order].set(
+                    jnp.arange(loss.shape[0]))
+                elite_w = (rank_of < num_elites).astype(jnp.float32)
+
+                all_params = self._camera_to_params(cameras)
+                new_gmm = gmm_lib.fit(k_fit, all_params,
+                                      self.num_gmm_components,
+                                      sample_weights=elite_w,
+                                      n_iter=self.gmm_em_iters)
+                ranking, _ = update_ranking(ranking, loss, cameras, step)
+                return (key, cur_gmm, new_gmm, ranking)
+
             k0, kloop = jax.random.split(key)
             gmm0 = gmm_lib.fit(k0, init_params, self.num_gmm_components,
                                n_iter=self.gmm_em_iters)
             ranking = init_ranking(self.ranking_size)
-            state = (kloop, gmm0, gmm0, ranking, z_obj, target_obs,
-                     camera_init)
+            state = (kloop, gmm0, gmm0, ranking)
             state = jax.lax.fori_loop(0, self.num_iters, body, state)
             return state[3]
 
@@ -883,57 +899,62 @@ class CrossEntropyPoseEstimator(PoseEstimator):
             k, x, self.num_gmm_components, sample_weights=w,
             n_iter=self.gmm_em_iters)
 
-        def body(step, state):
-            key, prev_gmm, cur_gmm, ranking, z_obj, target_rep, template = state
-            key, k_samp, k_fit = jax.random.split(key, 3)
+        def make_body(z_obj, target_rep, template):
+            """Loop-invariant operands closed over run()'s arguments, not
+            carried (see the single-object loop's note)."""
 
-            sample_gmm = jax.vmap(
-                lambda o, n: gmm_lib.blend(o, n, self.learning_rate))(
-                    prev_gmm, cur_gmm)
-            samp_keys = jax.random.split(k_samp, num_objects)
-            params = jax.vmap(sample_poses)(samp_keys, sample_gmm)
-            cams = cameras_from_flat(params.reshape(-1, 6), template)
-            if self.sample_flipped:
-                cams = with_flips(cams, template)
-            # Freshly sampled cameras have no input sharding to propagate
-            # from; pin the hypothesis axis onto the mesh.
-            cams = self._constrain_hypotheses(cams, cams.length)
+            def body(step, state):
+                key, prev_gmm, cur_gmm, ranking = state
+                key, k_samp, k_fit = jax.random.split(key, 3)
 
-            if self.loss_weights.get("latent", 0.0) > 0.0:
-                # The reference computes one target latent at the first
-                # hypothesis camera (estimation.py:393); per object that is
-                # the first camera of its block, repeated across the block.
-                first = cams[::n_total]
-                target_first = jax.tree_util.tree_map(
-                    lambda x: x[::n_total], target_rep)
-                z_t = self.model.compute_latent_code(target_first, first)
-                z_target_latent = jnp.repeat(z_t, n_total, axis=0)
-            else:
-                z_target_latent = None
+                sample_gmm = jax.vmap(
+                    lambda o, n: gmm_lib.blend(o, n, self.learning_rate))(
+                        prev_gmm, cur_gmm)
+                samp_keys = jax.random.split(k_samp, num_objects)
+                params = jax.vmap(sample_poses)(samp_keys, sample_gmm)
+                cams = cameras_from_flat(params.reshape(-1, 6), template)
+                if self.sample_flipped:
+                    cams = with_flips(cams, template)
+                # Freshly sampled cameras have no input sharding to propagate
+                # from; pin the hypothesis axis onto the mesh.
+                cams = self._constrain_hypotheses(cams, cams.length)
 
-            loss, _ = self._score_hypotheses(z_obj, target_rep, cams,
-                                             z_target_latent)
-            loss_mat = loss.reshape(num_objects, n_total)
+                if self.loss_weights.get("latent", 0.0) > 0.0:
+                    # The reference computes one target latent at the first
+                    # hypothesis camera (estimation.py:393); per object that
+                    # is the first camera of its block, repeated across it.
+                    first = cams[::n_total]
+                    target_first = jax.tree_util.tree_map(
+                        lambda x: x[::n_total], target_rep)
+                    z_t = self.model.compute_latent_code(target_first, first)
+                    z_target_latent = jnp.repeat(z_t, n_total, axis=0)
+                else:
+                    z_target_latent = None
 
-            # Precomputed with host math to match the reference's
-            # int(elite_sched.get(step)) exactly (estimation.py:349) --
-            # the raw f32 schedule admits one extra elite whenever the
-            # annealed count is fractional or near an integer.
-            num_elites = self._elite_table()[step]
-            rank_of = jnp.argsort(jnp.argsort(loss_mat, axis=1), axis=1)
-            elite_w = (rank_of < num_elites).astype(jnp.float32)
+                loss, _ = self._score_hypotheses(z_obj, target_rep, cams,
+                                                 z_target_latent)
+                loss_mat = loss.reshape(num_objects, n_total)
 
-            all_params = self._camera_to_params(cams).reshape(
-                num_objects, n_total, 6)
-            fit_keys = jax.random.split(k_fit, num_objects)
-            new_gmm = jax.vmap(fit_one)(fit_keys, all_params, elite_w)
-            ranking, _ = update_ranking_batch(
-                ranking, loss_mat,
-                cams.log_quaternion.reshape(num_objects, n_total, 3),
-                cams.translation.reshape(num_objects, n_total, 3),
-                cams.viewport.reshape(num_objects, n_total, 4), step)
-            return (key, cur_gmm, new_gmm, ranking, z_obj, target_rep,
-                    template)
+                # Precomputed with host math to match the reference's
+                # int(elite_sched.get(step)) exactly (estimation.py:349) --
+                # the raw f32 schedule admits one extra elite whenever the
+                # annealed count is fractional or near an integer.
+                num_elites = self._elite_table()[step]
+                rank_of = jnp.argsort(jnp.argsort(loss_mat, axis=1), axis=1)
+                elite_w = (rank_of < num_elites).astype(jnp.float32)
+
+                all_params = self._camera_to_params(cams).reshape(
+                    num_objects, n_total, 6)
+                fit_keys = jax.random.split(k_fit, num_objects)
+                new_gmm = jax.vmap(fit_one)(fit_keys, all_params, elite_w)
+                ranking, _ = update_ranking_batch(
+                    ranking, loss_mat,
+                    cams.log_quaternion.reshape(num_objects, n_total, 3),
+                    cams.translation.reshape(num_objects, n_total, 3),
+                    cams.viewport.reshape(num_objects, n_total, 4), step)
+                return (key, cur_gmm, new_gmm, ranking)
+
+            return body
 
         def run(key, init_params, z_obj, target_obs, template):
             # Interleave-repeat the targets to the per-iteration hypothesis
@@ -944,8 +965,10 @@ class CrossEntropyPoseEstimator(PoseEstimator):
             fit_keys = jax.random.split(k0, num_objects)
             gmm0 = jax.vmap(lambda k, x: fit_one(k, x))(fit_keys, init_params)
             ranking = init_ranking_batch(num_objects, self.ranking_size)
-            state = (kloop, gmm0, gmm0, ranking, z_obj, target_rep, template)
-            state = jax.lax.fori_loop(0, self.num_iters, body, state)
+            state = (kloop, gmm0, gmm0, ranking)
+            state = jax.lax.fori_loop(
+                0, self.num_iters, make_body(z_obj, target_rep, template),
+                state)
             return state[3]
 
         return run
