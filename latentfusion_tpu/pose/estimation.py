@@ -544,14 +544,23 @@ class MetropolisPoseEstimator(PoseEstimator):
             raise ValueError(
                 f"got {num_objects} latents but {len(target)} observations")
 
-        cams, mean_zs = [], []
-        for b in range(num_objects):
-            key, sub = jax.random.split(key)
-            cam_est = self.initial_pose(target[b])
-            mean_zs.append(cam_est.translation[:, -1].mean())
-            cams.append(pu.sample_cameras_with_estimate(
-                self.num_samples, cam_est, key=sub))
-        cameras = Camera.cat(cams)
+        if not hasattr(self, "_prologue_cache"):
+            self._prologue_cache = {}
+        if (num_objects,) not in self._prologue_cache:
+            def prologue(key, target):
+                # Jitted per-object init (see the CEM batch prologue note).
+                cams, mean_zs = [], []
+                for b in range(num_objects):
+                    key, sub = jax.random.split(key)
+                    cam_est = self.initial_pose(target[b])
+                    mean_zs.append(cam_est.translation[:, -1].mean())
+                    cams.append(pu.sample_cameras_with_estimate(
+                        self.num_samples, cam_est, key=sub))
+                return key, Camera.cat(cams), jnp.stack(mean_zs)
+
+            self._prologue_cache[(num_objects,)] = jax.jit(prologue)
+        key, cameras, mean_zs = self._prologue_cache[(num_objects,)](key,
+                                                                     target)
         n = self.num_samples
         use_latent = self.loss_weights.get("latent", 0.0) > 0.0
         mean_lifetime = -(self.num_iters - 1) / math.log(0.005 / 0.1)
@@ -610,7 +619,7 @@ class MetropolisPoseEstimator(PoseEstimator):
         with self._mesh_ctx():
             ranking = self._run_batch_cache[jit_key](
                 key, sharded_cameras, z_objs, target,
-                jnp.stack(mean_zs).mean())
+                mean_zs.mean())
         return [ranking_to_camera(Ranking(*(leaf[b] for leaf in ranking)),
                                   cameras[b * n])
                 for b in range(num_objects)]
@@ -642,8 +651,9 @@ class CrossEntropyPoseEstimator(PoseEstimator):
         self.gmm_em_iters = gmm_em_iters
         self.elite_sched = ExponentialScheduler(num_samples, num_elites,
                                                 num_iters)
-        # Jitted multi-object loops keyed by (num_objects,).
+        # Jitted multi-object loops/prologues keyed by (num_objects,).
         self._run_batch_cache: Dict[tuple, Any] = {}
+        self._prologue_cache: Dict[tuple, Any] = {}
 
     def _elite_table(self):
         """int(sched.get(step)) per iteration, computed with host-float
@@ -820,20 +830,29 @@ class CrossEntropyPoseEstimator(PoseEstimator):
             raise ValueError(
                 f"got {num_objects} latents but {len(target)} observations")
 
-        inits, cam_inits = [], []
-        for b in range(num_objects):
-            key, sub = jax.random.split(key)
-            cam_est = self.initial_pose(target[b])
-            cam_inits.append(cam_est)
-            inits.append(pu.sample_cameras_with_estimate(
-                n=self.num_gmm_components * self.num_samples,
-                camera_est=cam_est, upright=self.init_upright,
-                hemisphere=self.init_hemisphere, key=sub))
-        camera_init = Camera.cat(cam_inits)
-        init_params = jnp.stack(
-            [self._camera_to_params(c) for c in inits])  # (B, Ninit, 6)
-
         jit_key = (num_objects,)
+        if jit_key not in self._prologue_cache:
+            def prologue(key, target):
+                # Per-object translation init + hypothesis sampling in ONE
+                # jit (eager dispatches cost ~10 ms each on the tunneled
+                # backend; the single-object path jits this in run_from_obs).
+                inits, cam_inits = [], []
+                for b in range(num_objects):
+                    key, sub = jax.random.split(key)
+                    cam_est = self.initial_pose(target[b])
+                    cam_inits.append(cam_est)
+                    inits.append(pu.sample_cameras_with_estimate(
+                        n=self.num_gmm_components * self.num_samples,
+                        camera_est=cam_est, upright=self.init_upright,
+                        hemisphere=self.init_hemisphere, key=sub))
+                return (key, Camera.cat(cam_inits),
+                        jnp.stack([self._camera_to_params(c)
+                                   for c in inits]))  # (B, Ninit, 6)
+
+            self._prologue_cache[jit_key] = jax.jit(prologue)
+        key, camera_init, init_params = self._prologue_cache[jit_key](key,
+                                                                      target)
+
         if jit_key not in self._run_batch_cache:
             self._run_batch_cache[jit_key] = jax.jit(
                 self._make_batch_run(num_objects))
@@ -1089,13 +1108,21 @@ class GradientPoseEstimator(PoseEstimator):
                 f"got {num_objects} latents but {len(target)} observations")
 
         if cameras is None:
-            cams = []
-            for b in range(num_objects):
-                key, sub = jax.random.split(key)
-                cam_est = self.initial_pose(target[b])
-                cams.append(pu.sample_cameras_with_estimate(
-                    n=self.num_samples, camera_est=cam_est, key=sub))
-            cameras = Camera.cat(cams)
+            if not hasattr(self, "_prologue_cache"):
+                self._prologue_cache = {}
+            if (num_objects,) not in self._prologue_cache:
+                def prologue(key, target):
+                    # Jitted per-object init (see the CEM batch prologue).
+                    cams = []
+                    for b in range(num_objects):
+                        key, sub = jax.random.split(key)
+                        cam_est = self.initial_pose(target[b])
+                        cams.append(pu.sample_cameras_with_estimate(
+                            n=self.num_samples, camera_est=cam_est, key=sub))
+                    return key, Camera.cat(cams)
+
+                self._prologue_cache[(num_objects,)] = jax.jit(prologue)
+            key, cameras = self._prologue_cache[(num_objects,)](key, target)
         cameras = _zoom_camera(cameras, self.model.input_size,
                                self.model.camera_dist)
 

@@ -393,18 +393,16 @@ class TestCEMBatch:
             assert refined_loss < score(targets[b], coarse_cams[:1]) + 1e-6
             assert refined_loss < gt_loss * 1.05 + 1e-4, (refined_loss,
                                                           gt_loss)
-        # Cross-assignment: each refined pose tracks its OWN target's
-        # orientation (both targets share the same translation).
-        def flip_min_dist(best, gt_cam):
-            qs = [gt_cam.quaternion] + [
-                pu.flip_camera(gt_cam, a).quaternion
-                for a in ((1.0, 0, 0), (0, 1.0, 0), (0, 0, 1.0))]
-            return float(jnp.stack([
-                quat.angular_distance(best.quaternion[0:1], q)[:, 0]
-                for q in qs]).min())
-
-        assert flip_min_dist(results[0], gt1) < flip_min_dist(results[0], gt2)
-        assert flip_min_dist(results[1], gt2) < flip_min_dist(results[1], gt1)
+        # Cross-assignment: each refined pose explains its OWN target better
+        # than the other object's target (both share the same translation,
+        # so this isolates orientation tracking). Checked at the objective
+        # level — angular-proximity comparisons on a smooth ellipsoid are
+        # chaotic in the estimate's fp rounding (a 4e-6 init perturbation
+        # measurably flips them).
+        assert (score(targets[0], results[0][:1])
+                < score(targets[1], results[0][:1]))
+        assert (score(targets[1], results[1][:1])
+                < score(targets[0], results[1][:1]))
 
 
 class TestMetropolisBatch:
