@@ -18,6 +18,7 @@ entire render-compare-refine loop on-device:
 from __future__ import annotations
 
 import abc
+import functools
 import logging
 import math
 from collections import defaultdict
@@ -303,6 +304,22 @@ def ranking_to_camera(ranking: Ranking, template: Camera) -> Camera:
 
 
 _ranking_to_camera_jit = jax.jit(ranking_to_camera)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _finish_batch(ranking, templates: Camera, num_objects: int, stride: int,
+                  uncrop: bool):
+    """Post-loop epilogue for estimate_batch in ONE dispatch (the batch
+    twin of ``_finish_single_object``): per-object ranking slices and
+    result-camera construction are ~5 eager round trips per object on the
+    tunneled backend otherwise. ``templates[b * stride]`` is object b's
+    camera template (optionally uncropped first)."""
+    if uncrop:
+        templates = templates.uncrop()
+    return tuple(
+        ranking_to_camera(Ranking(*(leaf[b] for leaf in ranking)),
+                          templates[b * stride])
+        for b in range(num_objects))
 
 
 @jax.jit
@@ -620,9 +637,7 @@ class MetropolisPoseEstimator(PoseEstimator):
             ranking = self._run_batch_cache[jit_key](
                 key, sharded_cameras, z_objs, target,
                 mean_zs.mean())
-        return [ranking_to_camera(Ranking(*(leaf[b] for leaf in ranking)),
-                                  cameras[b * n])
-                for b in range(num_objects)]
+        return list(_finish_batch(ranking, cameras, num_objects, n, False))
 
 
 # ----------------------------------------------------------------------- CEM
@@ -864,9 +879,8 @@ class CrossEntropyPoseEstimator(PoseEstimator):
         with self._mesh_ctx():
             ranking = self._run_batch_cache[jit_key](key, init_params, z_objs,
                                                      target, camera_init)
-        return [ranking_to_camera(Ranking(*(leaf[b] for leaf in ranking)),
-                                  camera_init[b])
-                for b in range(num_objects)]
+        return list(_finish_batch(ranking, camera_init, num_objects, 1,
+                                  False))
 
     def _make_batch_run(self, num_objects: int):
         """Build the multi-object CEM loop (per-object GMMs via vmap)."""
@@ -1128,12 +1142,9 @@ class GradientPoseEstimator(PoseEstimator):
 
         ranking, stats = self._optimize_camera(z_objs, target, cameras,
                                                num_objects=num_objects)
-        templates = cameras.uncrop()
         views = cameras.length // num_objects
-        results = []
-        for b in range(num_objects):
-            rank_b = Ranking(*(leaf[b] for leaf in ranking))
-            results.append(ranking_to_camera(rank_b, templates[b * views]))
+        results = list(_finish_batch(ranking, cameras, num_objects, views,
+                                     True))
         if self.track_stats:
             return results, stats
         return results
