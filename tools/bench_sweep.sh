@@ -14,6 +14,27 @@ run() {
         echo "FAILED: bench.py $*" >&2
 }
 
+echo "=== fused-kernel Mosaic compile smoke ===" >&2
+timeout 1500 python - <<'PY' || echo "FAILED: kernel smoke" >&2
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+from latentfusion_tpu.ops.pallas_fused_sample import grid_sample_3d_fused
+from latentfusion_tpu.ops.gather_matmul import grid_sample_3d_matmul
+vol = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 16, 16, 16))
+grid = jax.random.uniform(jax.random.PRNGKey(1), (8, 8, 8, 8, 3),
+                          minval=-1.1, maxval=1.1)
+for pm in ("zeros", "border"):
+    f = jax.jit(lambda g: grid_sample_3d_fused(vol, g, padding_mode=pm))
+    gr = jax.jit(jax.grad(lambda g: grid_sample_3d_fused(
+        vol, g, padding_mode=pm).sum()))
+    a = np.asarray(f(grid)); da = np.asarray(gr(grid))
+    b = np.asarray(grid_sample_3d_matmul(
+        jnp.tile(vol, (8, 1, 1, 1, 1)), grid, padding_mode=pm))
+    assert np.allclose(a, b, atol=2e-2), (pm, np.abs(a - b).max())
+    assert np.isfinite(da).all()
+print("kernel smoke OK on", jax.devices()[0].device_kind)
+PY
+
 run                              # gradient, 8 hyp (north star)
 run --refine-unroll 2            # masked-unroll A/B (bit-exact)
 run --refine-unroll 4
