@@ -124,6 +124,16 @@ def _append_json(path, record):
         f.write(json.dumps(record) + "\n")
 
 
+def _knobs(args):
+    """Every flag that changes what a mode measures — recorded in each
+    JSON record so the per-round artifact is self-describing."""
+    return {"fp32": bool(args.fp32), "objects": args.objects,
+            "refine_remat": bool(args.refine_remat),
+            "refine_unroll": args.refine_unroll,
+            "layout": args.layout,
+            "volume_backend": args.volume_backend}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true", help="force CPU")
@@ -457,11 +467,7 @@ def main():
         "iters": args.iters, "elapsed_s": round(elapsed, 3),
         "cold_compile_s": round(cold_s, 1),
         "device_kind": device_kind,
-        "knobs": {"fp32": bool(args.fp32), "objects": args.objects,
-                  "refine_remat": bool(args.refine_remat),
-                  "refine_unroll": args.refine_unroll,
-                  "layout": args.layout,
-                  "volume_backend": args.volume_backend},
+        "knobs": _knobs(args),
         "tpu_mix_flops_per_hyp": (None if tpu_flops_per_hyp
                                   != tpu_flops_per_hyp
                                   else round(tpu_flops_per_hyp)),
@@ -594,6 +600,7 @@ def bench_full_pipeline(args, model, oracle, cam0, input_size, camera_dist):
     _append_json(args.json_out, {
         "mode": "full", "metric": "seconds_per_object_end_to_end",
         "value": round(elapsed / n_obj, 3), "objects": n_obj,
+        "knobs": _knobs(args),
         "cold_compile_plus_first_object_s": round(cold_s, 1),
         "noisy_masks": bool(args.noisy_masks),
         "device_kind": jax.devices()[0].device_kind,
@@ -690,7 +697,7 @@ def bench_train_step(args, input_size, camera_dist):
           f"{(v_in + v_out) * b / per_step:.1f} views/s", file=sys.stderr)
     _append_json(args.json_out, {
         "mode": "train", "metric": "train_steps_per_sec_per_chip",
-        "value": round(1.0 / per_step, 3), "batch": b,
+        "value": round(1.0 / per_step, 3), "knobs": _knobs(args), "batch": b,
         "batch_groups": args.batch_groups, "views_in": v_in,
         "views_out": v_out, "input_size": input_size,
         "remat": bool(args.remat), "cold_compile_s": round(cold_s, 1),

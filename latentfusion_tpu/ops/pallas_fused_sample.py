@@ -424,8 +424,12 @@ def grid_sample_3d_fused(input, grid, padding_mode: str = "zeros",
     y = _unnormalize(g[..., 1], h)
     z = _unnormalize(g[..., 2], d)
     # (N, K, 8) padded pixel-coordinate operand — factors are built inside
-    # the kernels (see _axis_factor_vmem). K-padding uses -2.0 (out of
-    # range -> zero taps, zero derivative in both padding modes).
+    # the kernels (see _axis_factor_vmem). K-padding uses -2.0: zero taps
+    # and zero derivative in zeros mode; in border mode the clip maps the
+    # pad to a full-weight corner tap, but those rows are sliced off the
+    # forward output below and their cotangent is zero-padded by the
+    # slice VJP, so neither the output nor d/dvol sees them. (Do NOT use
+    # _fused_sample's unsliced output directly in border mode.)
     coords = jnp.stack([x, y, z], axis=-1)
     coords = jnp.pad(coords, ((0, 0), (0, 0), (0, 5)))
 

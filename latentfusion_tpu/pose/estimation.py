@@ -355,6 +355,35 @@ class PoseEstimator(abc.ABC):
         # Cached jitted estimation loop (built lazily on first estimate();
         # re-creating jax.jit per call would retrace the full render graph).
         self._run_jit = None
+        # Jitted estimate_batch prologues, keyed by batch geometry.
+        self._prologue_cache: Dict[tuple, Any] = {}
+
+    def _batch_init_cameras(self, key, target, num_objects: int, n: int,
+                            upright: bool = False, hemisphere: bool = False):
+        """Jitted per-object translation init + hypothesis sampling shared
+        by the ``estimate_batch`` prologues (eager dispatches cost ~10 ms
+        each on the tunneled backend; the single-object CEM path jits this
+        inside ``run_from_obs``).
+
+        Returns ``(key, hypotheses, inits)``: the advanced PRNG key, the
+        B*n object-major sampled hypothesis Camera, and the length-B
+        per-object init Camera.
+        """
+        cache_key = (num_objects, n, upright, hemisphere)
+        if cache_key not in self._prologue_cache:
+            def prologue(key, target):
+                cams, inits = [], []
+                for b in range(num_objects):
+                    key, sub = jax.random.split(key)
+                    cam_est = self.initial_pose(target[b])
+                    inits.append(cam_est)
+                    cams.append(pu.sample_cameras_with_estimate(
+                        n=n, camera_est=cam_est, upright=upright,
+                        hemisphere=hemisphere, key=sub))
+                return key, Camera.cat(cams), Camera.cat(inits)
+
+            self._prologue_cache[cache_key] = jax.jit(prologue)
+        return self._prologue_cache[cache_key](key, target)
 
     # ------------------------------------------------------------- sharding
     def _shard_hypotheses(self, hyp_tree, *replicated_trees):
@@ -561,23 +590,9 @@ class MetropolisPoseEstimator(PoseEstimator):
             raise ValueError(
                 f"got {num_objects} latents but {len(target)} observations")
 
-        if not hasattr(self, "_prologue_cache"):
-            self._prologue_cache = {}
-        if (num_objects,) not in self._prologue_cache:
-            def prologue(key, target):
-                # Jitted per-object init (see the CEM batch prologue note).
-                cams, mean_zs = [], []
-                for b in range(num_objects):
-                    key, sub = jax.random.split(key)
-                    cam_est = self.initial_pose(target[b])
-                    mean_zs.append(cam_est.translation[:, -1].mean())
-                    cams.append(pu.sample_cameras_with_estimate(
-                        self.num_samples, cam_est, key=sub))
-                return key, Camera.cat(cams), jnp.stack(mean_zs)
-
-            self._prologue_cache[(num_objects,)] = jax.jit(prologue)
-        key, cameras, mean_zs = self._prologue_cache[(num_objects,)](key,
-                                                                     target)
+        key, cameras, cam_inits = self._batch_init_cameras(
+            key, target, num_objects, self.num_samples)
+        mean_zs = cam_inits.translation[:, -1]  # (B,) per-object depth init
         n = self.num_samples
         use_latent = self.loss_weights.get("latent", 0.0) > 0.0
         mean_lifetime = -(self.num_iters - 1) / math.log(0.005 / 0.1)
@@ -666,9 +681,8 @@ class CrossEntropyPoseEstimator(PoseEstimator):
         self.gmm_em_iters = gmm_em_iters
         self.elite_sched = ExponentialScheduler(num_samples, num_elites,
                                                 num_iters)
-        # Jitted multi-object loops/prologues keyed by (num_objects,).
+        # Jitted multi-object loops keyed by (num_objects,).
         self._run_batch_cache: Dict[tuple, Any] = {}
-        self._prologue_cache: Dict[tuple, Any] = {}
 
     def _elite_table(self):
         """int(sched.get(step)) per iteration, computed with host-float
@@ -845,29 +859,14 @@ class CrossEntropyPoseEstimator(PoseEstimator):
             raise ValueError(
                 f"got {num_objects} latents but {len(target)} observations")
 
+        n_init = self.num_gmm_components * self.num_samples
+        key, init_cams, camera_init = self._batch_init_cameras(
+            key, target, num_objects, n_init,
+            upright=self.init_upright, hemisphere=self.init_hemisphere)
+        init_params = self._camera_to_params(init_cams).reshape(
+            num_objects, n_init, 6)
+
         jit_key = (num_objects,)
-        if jit_key not in self._prologue_cache:
-            def prologue(key, target):
-                # Per-object translation init + hypothesis sampling in ONE
-                # jit (eager dispatches cost ~10 ms each on the tunneled
-                # backend; the single-object path jits this in run_from_obs).
-                inits, cam_inits = [], []
-                for b in range(num_objects):
-                    key, sub = jax.random.split(key)
-                    cam_est = self.initial_pose(target[b])
-                    cam_inits.append(cam_est)
-                    inits.append(pu.sample_cameras_with_estimate(
-                        n=self.num_gmm_components * self.num_samples,
-                        camera_est=cam_est, upright=self.init_upright,
-                        hemisphere=self.init_hemisphere, key=sub))
-                return (key, Camera.cat(cam_inits),
-                        jnp.stack([self._camera_to_params(c)
-                                   for c in inits]))  # (B, Ninit, 6)
-
-            self._prologue_cache[jit_key] = jax.jit(prologue)
-        key, camera_init, init_params = self._prologue_cache[jit_key](key,
-                                                                      target)
-
         if jit_key not in self._run_batch_cache:
             self._run_batch_cache[jit_key] = jax.jit(
                 self._make_batch_run(num_objects))
@@ -1122,21 +1121,8 @@ class GradientPoseEstimator(PoseEstimator):
                 f"got {num_objects} latents but {len(target)} observations")
 
         if cameras is None:
-            if not hasattr(self, "_prologue_cache"):
-                self._prologue_cache = {}
-            if (num_objects,) not in self._prologue_cache:
-                def prologue(key, target):
-                    # Jitted per-object init (see the CEM batch prologue).
-                    cams = []
-                    for b in range(num_objects):
-                        key, sub = jax.random.split(key)
-                        cam_est = self.initial_pose(target[b])
-                        cams.append(pu.sample_cameras_with_estimate(
-                            n=self.num_samples, camera_est=cam_est, key=sub))
-                    return key, Camera.cat(cams)
-
-                self._prologue_cache[(num_objects,)] = jax.jit(prologue)
-            key, cameras = self._prologue_cache[(num_objects,)](key, target)
+            key, cameras, _ = self._batch_init_cameras(
+                key, target, num_objects, self.num_samples)
         cameras = _zoom_camera(cameras, self.model.input_size,
                                self.model.camera_dist)
 
@@ -1206,11 +1192,14 @@ class GradientPoseEstimator(PoseEstimator):
             return (state["step"] < self.num_iters) & (
                 state["converge_count"] < self.converge_patience)
 
-        def make_body(camera_template, full_viewport, target_obs, z_obj):
+        def make_body(camera_template, full_viewport, target_obs, z_obj,
+                      quiet=False):
             """Bind the loop-invariant (large) operands as closures over
             run()'s *arguments* — outside the while carry so they are not
             copied every iteration (profiled: carried state copies were
-            ~19% of loop time)."""
+            ~19% of loop time). ``quiet`` suppresses the verbose progress
+            print (used by the masked unroll copies, whose post-exit
+            computations are discarded and would log bogus lines)."""
 
             def body(state):
                 params = state["params"]
@@ -1259,7 +1248,7 @@ class GradientPoseEstimator(PoseEstimator):
                 hist = state["loss_history"].at[state["step"]].set(
                     rank_mat.min(axis=1))
 
-                if self.verbose:
+                if self.verbose and not quiet:
                     # Live progress (the reference's tqdm description,
                     # estimation.py:634-643) via debug callback.
                     jax.debug.print(
@@ -1306,11 +1295,19 @@ class GradientPoseEstimator(PoseEstimator):
             }
             unroll = get_refine_unroll()
             if unroll > 1:
+                # Masked copies print nothing: their debug.print cannot be
+                # gated on the traced predicate, so verbose mode would log
+                # bogus post-exit lines (progress shows every unroll-th
+                # step instead).
+                quiet_body = make_body(camera_template,
+                                       camera_template.uncrop().viewport,
+                                       target_obs, z_obj, quiet=True)
+
                 def masked_body(s):
                     # Identity once the continuation predicate fails:
                     # converged state is a fixpoint -> results are
                     # bit-exact vs unroll=1 (see set_refine_unroll).
-                    new = body(s)
+                    new = quiet_body(s)
                     act = cond(s)
                     return jax.tree_util.tree_map(
                         lambda n, o: jnp.where(act, n, o), new, s)

@@ -4,9 +4,9 @@
 # item 1d: "commit all bench modes to a per-round JSON artifact").
 # Usage: tools/bench_sweep.sh artifacts/bench_r3.json
 set -u
+cd "$(dirname "$0")/.."
 OUT="${1:-artifacts/bench_r3.json}"
 rm -f "$OUT"
-cd "$(dirname "$0")/.."
 
 run() {
     echo "=== bench.py $* ===" >&2
