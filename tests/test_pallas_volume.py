@@ -60,6 +60,38 @@ def test_pallas_vjp_matches_gather_autodiff(rng, padding_mode):
                                atol=2e-5)
 
 
+def test_transforms_fused_backend(rng):
+    """transforms dispatch with the fused backend matches the matmul
+    backend end-to-end (object_to_camera at a qualifying flagship-family
+    shape: 16^3 volume, 128 channels, 16^3 output grid), fwd and d/dgrid
+    through the camera chain."""
+    from latentfusion_tpu import transforms
+    from latentfusion_tpu.testing import make_camera
+
+    cam = make_camera(2, key=jax.random.PRNGKey(0))
+    vol = jnp.asarray(rng.randn(1, 128, 16, 16, 16).astype(np.float32) * 0.1)
+
+    def run():
+        out = transforms.object_to_camera(vol, cam)
+        g = jax.grad(lambda t: transforms.object_to_camera(
+            vol, cam.replace(translation=t)).sum())(cam.translation)
+        return out, g
+
+    transforms.set_volume_sample_backend("fused")
+    try:
+        out_fu, g_fu = run()
+    finally:
+        transforms.set_volume_sample_backend("matmul")
+    try:
+        out_mm, g_mm = run()
+    finally:
+        transforms.set_volume_sample_backend("auto")
+    np.testing.assert_allclose(np.asarray(out_fu), np.asarray(out_mm),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_fu), np.asarray(g_mm),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_transforms_pallas_backend(rng):
     """transforms dispatch with the pallas backend matches gather end-to-end
     (object_to_camera on an 18^3 volume, above MAX_MATMUL_VOXELS)."""
