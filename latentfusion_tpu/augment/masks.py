@@ -165,14 +165,21 @@ class RandomCut(MaskTransform):
         return out if out.any() else mask
 
 
-def default_mask_corruption():
-    """The shipped pipeline's mask-noise chain
-    (reference: pyrender.py:177-184)."""
-    transforms = [RandomAdd(p=0.15), RandomCut(p=0.05), RandomEllipses(p=0.2)]
+class Compose:
+    """Apply a list of mask transforms in order. A class (not a closure) so
+    datasets holding one stay picklable for spawn-start loader workers."""
 
-    def apply(mask):
-        for t in transforms:
+    def __init__(self, transforms):
+        self.transforms = list(transforms)
+
+    def __call__(self, mask):
+        for t in self.transforms:
             mask = t(mask)
         return mask
 
-    return apply
+
+def default_mask_corruption():
+    """The shipped pipeline's mask-noise chain
+    (reference: pyrender.py:177-184)."""
+    return Compose([RandomAdd(p=0.15), RandomCut(p=0.05),
+                    RandomEllipses(p=0.2)])

@@ -29,6 +29,15 @@ def collate(items):
 
 def _worker_loop(dataset, worker_id, out_queue, stop_event):
     try:
+        # Data workers are host-side: force the CPU platform before any
+        # backend initialization (the container sitecustomize would
+        # otherwise point a spawned child at the TPU — which admits only
+        # one process) and keep dataset-side jax.random usage off the
+        # device tunnel.
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized (fork start method)
         dataset.worker_init_fn(worker_id)
         it = iter(dataset)
         while not stop_event.is_set():
@@ -62,7 +71,11 @@ class IterableLoader:
         self._stop = None
 
     def _start(self):
-        ctx = mp.get_context("fork")
+        # spawn, not fork: the parent has live JAX threadpools (fork after
+        # that deadlocks children — os.fork() + multithreaded JAX), and
+        # datasets use jax.random host-side. Spawned workers re-import and
+        # force the CPU platform in _worker_loop.
+        ctx = mp.get_context("spawn")
         self._queue = ctx.Queue(maxsize=self.prefetch * self.batch_size)
         self._stop = ctx.Event()
         for i in range(self.num_workers):

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from .. import augment, three
 from ..consts import INTRINSIC
+from ..three import host
 from ..three import quaternion as quat
 from . import rendering
 
@@ -118,7 +119,14 @@ class SyntheticDataset:
         self._mask_corrupt = augment.masks.default_mask_corruption()
         self._renderer = None
         self._worker_id = None
-        self._key = jax.random.PRNGKey(seed if seed is not None else 0)
+        # Stored as a plain int, NOT a PRNGKey: the dataset is pickled into
+        # spawn-start loader workers, and unpickling a jax.Array initializes
+        # the child's default backend before the worker can force the CPU
+        # platform (under the container's sitecustomize that grabs the
+        # single-process TPU tunnel and hangs). Host datasets keep
+        # jax-array-free state; the key materializes in worker_init_fn.
+        self._seed = int(seed if seed is not None else 0)
+        self._key = None
 
     # -------------------------------------------------------------- workers
     def worker_init_fn(self, worker_id):
@@ -128,8 +136,11 @@ class SyntheticDataset:
                                             height=self.height)
         random.seed((worker_id + 1) * 7919 + random.randrange(1 << 20))
         np.random.seed((worker_id + 1) * 104729 % (1 << 31))
+        self._key = jax.random.PRNGKey(self._seed + worker_id)
 
     def _next_key(self):
+        if self._key is None:
+            self._key = jax.random.PRNGKey(self._seed)
         self._key, sub = jax.random.split(self._key)
         return sub
 
@@ -346,11 +357,8 @@ class SyntheticDataset:
 
         for t, q in zip(in_t, in_q):
             context.randomize_lights(self.min_lights, self.max_lights)
-            context.set_pose(jnp.asarray(t), jnp.asarray(q))
+            context.set_pose(t, q)
             color, depth, mask = self._renderer.render(context)
-            color = np.asarray(color)
-            depth = np.asarray(depth)
-            mask = np.asarray(mask)
             groups["in_gt"]["render"].append(color)
             groups["in_gt"]["depth"].append(depth)
             groups["in_gt"]["mask"].append(mask)
@@ -377,17 +385,16 @@ class SyntheticDataset:
             groups["in"]["mask"].append(noisy_mask)
 
         for t, q in zip(out_t, out_q):
-            context.set_pose(jnp.asarray(t), jnp.asarray(q))
+            context.set_pose(t, q)
             color, depth, mask = self._renderer.render(context)
-            groups["out_gt"]["render"].append(np.asarray(color))
-            groups["out_gt"]["depth"].append(np.asarray(depth))
-            groups["out_gt"]["mask"].append(np.asarray(mask))
+            groups["out_gt"]["render"].append(color)
+            groups["out_gt"]["depth"].append(depth)
+            groups["out_gt"]["mask"].append(mask)
 
         in_intrinsic = np.tile(intrinsic[None, :3, :3], (self.num_inputs, 1, 1))
         out_intrinsic = np.tile(intrinsic[None, :3, :3],
                                 (self.num_outputs, 1, 1))
-        in_extrinsic_gt = np.asarray(three.to_extrinsic_matrix(
-            jnp.asarray(in_t), jnp.asarray(in_q)))
+        in_extrinsic_gt = host.to_extrinsic_matrix(in_t, in_q)
 
         # Camera pose jitter for noisy-extrinsics training
         # (reference: pyrender.py:406-418).
@@ -400,10 +407,8 @@ class SyntheticDataset:
             q_noisy = np.asarray(quat.perturb(
                 self._next_key(), jnp.asarray(in_q),
                 self.camera_rotation_noise))
-        in_extrinsic = np.asarray(three.to_extrinsic_matrix(
-            jnp.asarray(t_noisy), jnp.asarray(q_noisy)))
-        out_extrinsic = np.asarray(three.to_extrinsic_matrix(
-            jnp.asarray(out_t), jnp.asarray(out_q)))
+        in_extrinsic = host.to_extrinsic_matrix(t_noisy, q_noisy)
+        out_extrinsic = host.to_extrinsic_matrix(out_t, out_q)
 
         def pack(g, extrinsic, intrinsic_):
             return {

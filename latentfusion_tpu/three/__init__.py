@@ -19,3 +19,4 @@ from .rigid import (  # noqa: F401
 from .batchview import b2bv, bv2b, bvmm, vcat, vsplit  # noqa: F401
 from . import orientation  # noqa: F401
 from . import utils  # noqa: F401
+from . import host  # noqa: F401

@@ -110,6 +110,16 @@ void rasterize(const float* vertices, int n_vertices,
 
     const float znear = 1e-4f;
 
+    // Deferred shading: pass 1 resolves visibility only (z-buffer + winning
+    // triangle id + perspective-correct barycentrics), pass 2 shades each
+    // covered pixel exactly once. Forward shading paid the full texture +
+    // multi-light cost per *fragment*; with typical overdraw factors of
+    // 1.5-3x on closed meshes that dominated render time.
+    const int n_px = width * height;
+    int32_t* tri_id = new int32_t[n_px];
+    float* bary = new float[n_px * 2];
+    std::fill(tri_id, tri_id + n_px, -1);
+
     for (int t = 0; t < n_faces; ++t) {
         const int32_t i0 = faces[3 * t], i1 = faces[3 * t + 1], i2 = faces[3 * t + 2];
         const float z0 = cam[3 * i0 + 2], z1 = cam[3 * i1 + 2], z2 = cam[3 * i2 + 2];
@@ -144,12 +154,24 @@ void rasterize(const float* vertices, int n_vertices,
                 // Perspective-correct barycentrics.
                 float izp = w0 * iz0 + w1 * iz1 + w2 * iz2;
                 float z = 1.0f / izp;
-                float* dst = out_depth + y * width + x;
+                const int idx = y * width + x;
+                float* dst = out_depth + idx;
                 if (*dst != 0.0f && z >= *dst) continue;
                 *dst = z;
+                tri_id[idx] = t;
+                bary[2 * idx] = w0 * iz0 * z;
+                bary[2 * idx + 1] = w1 * iz1 * z;
+            }
+        }
+    }
 
-                float b0 = w0 * iz0 * z, b1 = w1 * iz1 * z, b2 = w2 * iz2 * z;
-
+    for (int idx = 0; idx < n_px; ++idx) {
+        const int32_t t = tri_id[idx];
+        if (t < 0) continue;
+        const int32_t i0 = faces[3 * t], i1 = faces[3 * t + 1], i2 = faces[3 * t + 2];
+        const float b0 = bary[2 * idx], b1 = bary[2 * idx + 1];
+        const float b2 = 1.0f - b0 - b1;
+        {
                 float albedo[3] = {0.8f, 0.8f, 0.8f};
                 if (use_texture) {
                     // Perspective-correct UV, rescaled then wrapped
@@ -194,7 +216,7 @@ void rasterize(const float* vertices, int n_vertices,
                                     b2 * vertex_colors[3 * i2 + c];
                 }
 
-                float* col = out_color + 3 * (y * width + x);
+                float* col = out_color + 3 * idx;
                 if (!shade) {
                     col[0] = albedo[0];
                     col[1] = albedo[1];
@@ -246,10 +268,11 @@ void rasterize(const float* vertices, int n_vertices,
                 }
                 for (int c = 0; c < 3; ++c)
                     col[c] = std::min(1.0f, albedo[c] * shade_rgb[c] + spec_rgb[c]);
-            }
         }
     }
 
+    delete[] tri_id;
+    delete[] bary;
     delete[] cam;
     delete[] px;
 }

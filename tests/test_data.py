@@ -313,3 +313,37 @@ class TestBOPDataset:
         # denormalize roundtrip
         back = ds.denormalize_extrinsic(item["extrinsic"])
         np.testing.assert_allclose(np.asarray(back)[2, 3], 400.0, rtol=1e-5)
+
+
+def test_dataset_pickles_without_jax_arrays(tmp_path):
+    """Spawn-start workers unpickle the dataset BEFORE they can force the
+    CPU platform; a pickled jax.Array would initialize the child's default
+    backend (the single-process TPU tunnel under the container
+    sitecustomize) and hang the loader. Keep host dataset state numpy."""
+    import pickle
+
+    import jax
+
+    from latentfusion_tpu.data import synthetic
+
+    ds = synthetic.SyntheticDataset(
+        [make_cube_obj(tmp_path)], num_input_views=1, num_output_views=1,
+        width=40, height=30)
+    seen = []
+
+    def scan(obj, depth=0):
+        if depth > 4 or id(obj) in seen:
+            return
+        seen.append(id(obj))
+        assert not isinstance(obj, jax.Array), f"jax.Array in state: {obj!r}"
+        if isinstance(obj, dict):
+            for v in obj.values():
+                scan(v, depth + 1)
+        elif isinstance(obj, (list, tuple)):
+            for v in obj:
+                scan(v, depth + 1)
+        elif hasattr(obj, "__dict__"):
+            scan(vars(obj), depth + 1)
+
+    scan(ds)
+    pickle.dumps(ds)  # must survive spawn's ForkingPickler path

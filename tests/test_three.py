@@ -257,3 +257,36 @@ class TestStats:
         mask = three.stats.mask_outliers_mad(data, 3.0)
         assert not bool(mask[-1])
         assert bool(mask[0])
+
+
+class TestHostTwins:
+    """three.host numpy twins pinned to the jnp implementations (the host
+    data path runs these in CPU workers without jax dispatch)."""
+
+    def test_quat_to_mat_matches(self):
+        rng = np.random.RandomState(0)
+        q = rng.randn(32, 4).astype(np.float32)
+        np.testing.assert_allclose(
+            three.host.quat_to_mat(q),
+            np.asarray(three.quaternion.quat_to_mat(jnp.asarray(q))),
+            atol=1e-6)
+
+    def test_qmul_matches(self):
+        rng = np.random.RandomState(1)
+        q1 = rng.randn(16, 4).astype(np.float32)
+        q2 = rng.randn(16, 4).astype(np.float32)
+        np.testing.assert_allclose(
+            three.host.qmul(q1, q2),
+            np.asarray(three.quaternion.qmul(jnp.asarray(q1),
+                                             jnp.asarray(q2))),
+            atol=1e-6)
+
+    def test_to_extrinsic_matrix_matches(self):
+        rng = np.random.RandomState(2)
+        t = rng.randn(8, 3).astype(np.float32)
+        q = rng.randn(8, 4).astype(np.float32)
+        np.testing.assert_allclose(
+            three.host.to_extrinsic_matrix(t, q),
+            np.asarray(three.to_extrinsic_matrix(jnp.asarray(t),
+                                                 jnp.asarray(q))),
+            atol=1e-6)
