@@ -23,6 +23,11 @@ def add_common_args(parser: argparse.ArgumentParser):
     g.add_argument("--batches-per-epoch", type=int, default=4000)
     g.add_argument("--num-epochs", type=int, default=10000)
     g.add_argument("--num-workers", type=int, default=4)
+    g.add_argument("--transport", choices=["quantized"], default=None,
+                   help="worker->device transport codec: 'quantized' moves "
+                        "uint8 color/mask + f16 depth (4x fewer bytes "
+                        "through the loader queue and the host->device "
+                        "copy; <=1/510 color quantization)")
     g.add_argument("--save-interval", type=int, default=10)
     g.add_argument("--plot-interval", type=int, default=100)
     g.add_argument("--show-interval", type=int, default=1000)

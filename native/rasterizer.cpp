@@ -19,8 +19,11 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -165,7 +168,18 @@ void rasterize(const float* vertices, int n_vertices,
         }
     }
 
-    for (int idx = 0; idx < n_px; ++idx) {
+    // Shading is embarrassingly parallel over pixels (disjoint writes, so
+    // the output is bit-identical at any thread count). Default 1 thread:
+    // the loader already parallelizes across worker *processes*; set
+    // RASTERIZER_THREADS>1 only when a single renderer owns the host
+    // (e.g. interactive evaluation).
+    int n_threads = 1;
+    if (const char* env = std::getenv("RASTERIZER_THREADS")) {
+        n_threads = std::max(1, std::min(64, atoi(env)));
+    }
+
+    auto shade_range = [&](int idx_begin, int idx_end) {
+    for (int idx = idx_begin; idx < idx_end; ++idx) {
         const int32_t t = tri_id[idx];
         if (t < 0) continue;
         const int32_t i0 = faces[3 * t], i1 = faces[3 * t + 1], i2 = faces[3 * t + 2];
@@ -269,6 +283,20 @@ void rasterize(const float* vertices, int n_vertices,
                 for (int c = 0; c < 3; ++c)
                     col[c] = std::min(1.0f, albedo[c] * shade_rgb[c] + spec_rgb[c]);
         }
+    }
+    };
+
+    if (n_threads <= 1) {
+        shade_range(0, n_px);
+    } else {
+        std::vector<std::thread> pool;
+        const int chunk = (n_px + n_threads - 1) / n_threads;
+        for (int t = 0; t < n_threads; ++t) {
+            const int begin = t * chunk;
+            const int end = std::min(n_px, begin + chunk);
+            if (begin < end) pool.emplace_back(shade_range, begin, end);
+        }
+        for (auto& th : pool) th.join();
     }
 
     delete[] tri_id;

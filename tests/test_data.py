@@ -347,3 +347,60 @@ def test_dataset_pickles_without_jax_arrays(tmp_path):
 
     scan(ds)
     pickle.dumps(ds)  # must survive spawn's ForkingPickler path
+
+
+class TestTransportCodec:
+    """Opt-in quantized worker->device transport (uint8 color/mask, f16
+    depth): 4x fewer bytes through the queue and the host->device copy."""
+
+    def _ds(self, tmp_path):
+        from latentfusion_tpu.data import synthetic
+
+        return synthetic.SyntheticDataset(
+            [make_cube_obj(tmp_path)], num_input_views=1, num_output_views=1,
+            width=40, height=30)
+
+    def test_roundtrip_accuracy(self, tmp_path):
+        from latentfusion_tpu.data import loader as L
+
+        ds = self._ds(tmp_path)
+        ds.worker_init_fn(0)
+        item = next(iter(ds))
+        enc = L.encode_transport(item)
+        assert enc["in"]["render"].dtype == np.uint8
+        assert enc["in"]["depth"].dtype == np.float16
+        assert enc["in"]["extrinsic"].dtype == np.float32  # untouched
+        dec = L.decode_transport(enc)
+        np.testing.assert_allclose(np.asarray(dec["in"]["render"]),
+                                   item["in"]["render"], atol=1 / 510 + 1e-7)
+        np.testing.assert_allclose(np.asarray(dec["in_gt"]["mask"]),
+                                   item["in_gt"]["mask"], atol=1e-7)
+        d0 = item["in"]["depth"]
+        np.testing.assert_allclose(np.asarray(dec["in"]["depth"]), d0,
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_loader_quantized_workers(self, tmp_path):
+        from latentfusion_tpu.data.loader import IterableLoader
+
+        loader = IterableLoader(self._ds(tmp_path), batch_size=2,
+                                num_workers=2, device_put=False,
+                                transport="quantized")
+        try:
+            batch = next(iter(loader))
+        finally:
+            loader.shutdown()
+        r = batch["in"]["render"]
+        assert r.dtype == np.float32 and r.shape == (2, 1, 3, 30, 40)
+        assert 0.0 <= r.min() and r.max() <= 1.0
+        assert batch["out_gt"]["mask"].sum() > 0
+
+    def test_loader_quantized_device_put(self, tmp_path):
+        from latentfusion_tpu.data.loader import IterableLoader
+
+        loader = IterableLoader(self._ds(tmp_path), batch_size=1,
+                                num_workers=0, transport="quantized")
+        batch = next(iter(loader))
+        import jax.numpy as jnp
+
+        assert batch["in"]["render"].dtype == jnp.float32
+        assert float(batch["in"]["render"].max()) <= 1.0

@@ -220,7 +220,8 @@ def main(argv=None):
         sharding = parallel.batch_sharding(mesh)
         state = parallel.replicate(state, mesh)
     loader = IterableLoader(dataset, batch_size=args.batch_size,
-                            num_workers=args.num_workers, sharding=sharding)
+                            num_workers=args.num_workers, sharding=sharding,
+                            transport=args.transport)
 
     input_noise_sched = ExponentialScheduler(
         1.0, 1e-4, args.input_noise_epochs) if discriminator else None
