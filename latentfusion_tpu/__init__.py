@@ -42,3 +42,31 @@ def __getattr__(name):
         module = importlib.import_module(module_name)
         return getattr(module, attr) if attr else module
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache for this process.
+
+    Cold TPU compiles of the refinement/CEM loops cost 100-500 s on a
+    tunneled backend (seconds warm); the persistent cache amortizes them
+    across processes and restarts. Call once before the first jit. The
+    repo's own tools/bench default to /tmp/jax_bench_cache; deployments
+    should point this somewhere durable.
+
+    Returns the cache directory in use.
+    """
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "LATENTFUSION_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "latentfusion_tpu", "xla"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # Cache even fast-compiling entries: estimate() re-jits per batch
+    # geometry, and many small entries still beat the tunnel round-trip.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return path
