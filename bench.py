@@ -159,6 +159,16 @@ def main():
     parser.add_argument("--batch-groups", type=int, default=1,
                         help="train mode: gradient-accumulation groups "
                              "(published recipe: 2)")
+    parser.add_argument("--real-data", action="store_true",
+                        help="train mode: pull batches from the REAL "
+                             "synthetic-render loader (spawn workers + "
+                             "procedural meshes) instead of a fixed random "
+                             "batch — measures end-to-end steps/s incl. "
+                             "the data pipeline")
+    parser.add_argument("--loader-workers", type=int, default=4,
+                        help="--real-data: loader worker processes")
+    parser.add_argument("--transport", choices=["quantized"], default=None,
+                        help="--real-data: loader transport codec")
     parser.add_argument("--remat", action="store_true",
                         help="train mode: rematerialize encode/decode "
                              "(needed for the published batch at 256^2)")
@@ -664,8 +674,31 @@ def bench_train_step(args, input_size, camera_dist):
             "extrinsic": extr, "intrinsic": intr,
         }
 
-    batch = jax.device_put({"in": group(v_in), "in_gt": group(v_in),
-                            "out_gt": group(v_out)})
+    loader_it = None
+    loader = None
+    if args.real_data:
+        # End-to-end: batches stream from the actual render loader (the
+        # fixed-random-batch path measures device compute only).
+        import tempfile
+
+        from latentfusion_tpu.data.loader import IterableLoader
+        from latentfusion_tpu.data.synthetic import (SyntheticDataset,
+                                                     make_procedural_blobs)
+
+        paths = make_procedural_blobs(tempfile.mkdtemp(), n_objs=4)
+        ds = SyntheticDataset(paths, num_input_views=v_in,
+                              num_output_views=v_out, width=w, height=h,
+                              random_materials=True)
+        loader = IterableLoader(ds, batch_size=b,
+                                num_workers=args.loader_workers,
+                                transport=args.transport)
+        loader_it = iter(loader)
+        print(f"# real-data loader: {args.loader_workers} workers, "
+              f"transport={args.transport or 'f32'}", file=sys.stderr)
+        batch = next(loader_it)
+    else:
+        batch = jax.device_put({"in": group(v_in), "in_gt": group(v_in),
+                                "out_gt": group(v_out)})
 
     # NOTE: block_until_ready can return early on the tunneled backend;
     # force a host transfer of the final scalar for honest timing.
@@ -682,15 +715,20 @@ def bench_train_step(args, input_size, camera_dist):
     iters = max(args.iters // 5, 3)
     t0 = time.time()
     for _ in range(iters):
+        if loader_it is not None:
+            batch = next(loader_it)  # fresh renders every step
         state, aux = step(state, batch, key)
     sync(aux)
     per_step = (time.time() - t0) / iters
+    if loader is not None:
+        loader.shutdown()
 
+    tag = " end-to-end w/ render loader" if args.real_data else ""
     print(json.dumps({
         "metric": "train_steps_per_sec_per_chip",
         "value": round(1.0 / per_step, 3),
         "unit": f"steps/s (flagship recon training, batch {b}, "
-                f"{v_in} in / {v_out} out views, {input_size}^2)",
+                f"{v_in} in / {v_out} out views, {input_size}^2{tag})",
         "vs_baseline": None,
     }))
     print(f"# {per_step * 1e3:.1f} ms/step = "
@@ -702,6 +740,9 @@ def bench_train_step(args, input_size, camera_dist):
         "views_out": v_out, "input_size": input_size,
         "remat": bool(args.remat), "cold_compile_s": round(cold_s, 1),
         "device_kind": jax.devices()[0].device_kind,
+        "real_data": bool(args.real_data),
+        "loader_workers": args.loader_workers if args.real_data else None,
+        "transport": args.transport if args.real_data else None,
         "views_per_sec": round((v_in + v_out) * b / per_step, 1)})
 
 

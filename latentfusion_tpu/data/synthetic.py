@@ -42,6 +42,31 @@ OBJ_DEFAULT_POSE = np.asarray(
     ((1.0, 0.0, 0.0), (0.0, 0.0, -1.0), (0.0, 1.0, 0.0)), dtype=np.float32)
 
 
+def make_procedural_blobs(out_dir, n_objs: int = 4, n_verts: int = 2000):
+    """Write ``n_objs`` procedural convex-blob OBJ meshes and return their
+    paths. Stands in for ShapeNet/ModelNet assets in environments without
+    datasets (benchmarks, demos, smoke training)."""
+    from scipy.spatial import ConvexHull
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i in range(n_objs):
+        rng = np.random.RandomState(i)
+        v = rng.randn(n_verts, 3).astype(np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        v *= 0.8 + 0.4 * rng.rand(n_verts, 1)
+        hull = ConvexHull(v)
+        p = out_dir / f"blob{i}.obj"
+        with open(p, "w") as f:
+            for vv in v:
+                f.write(f"v {vv[0]:.5f} {vv[1]:.5f} {vv[2]:.5f}\n")
+            for s in hull.simplices:
+                f.write(f"f {s[0] + 1} {s[1] + 1} {s[2] + 1}\n")
+        paths.append(p)
+    return paths
+
+
 def index_paths(dataset_dir: Path, ext: str, index_name: str = "paths.txt"):
     """(reference: pyrender.py:56-62)"""
     dataset_dir = Path(dataset_dir)

@@ -13,6 +13,8 @@ ROOT = Path(__file__).parents[1]
     ("gradient", []),
     ("gradient", ["--refine-unroll", "2"]),
     ("train", []),
+    ("train", ["--real-data", "--loader-workers", "1",
+               "--transport", "quantized"]),
 ])
 def test_bench_tiny_cpu(mode, extra):
     out = subprocess.run(

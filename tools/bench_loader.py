@@ -41,23 +41,9 @@ jax.config.update("jax_platforms", "cpu")
 
 def make_blob_objs(tmp: Path, n_objs: int, n_verts: int):
     """Procedural convex blobs (no dataset assets in this environment)."""
-    from scipy.spatial import ConvexHull
+    from latentfusion_tpu.data.synthetic import make_procedural_blobs
 
-    paths = []
-    for i in range(n_objs):
-        rng = np.random.RandomState(i)
-        v = rng.randn(n_verts, 3).astype(np.float64)
-        v /= np.linalg.norm(v, axis=1, keepdims=True)
-        v *= 0.8 + 0.4 * rng.rand(n_verts, 1)
-        hull = ConvexHull(v)
-        p = tmp / f"blob{i}.obj"
-        with open(p, "w") as f:
-            for vv in v:
-                f.write(f"v {vv[0]:.5f} {vv[1]:.5f} {vv[2]:.5f}\n")
-            for s in hull.simplices:
-                f.write(f"f {s[0] + 1} {s[1] + 1} {s[2] + 1}\n")
-        paths.append(p)
-    return paths
+    return make_procedural_blobs(tmp, n_objs, n_verts)
 
 
 def bench_rasterizer(paths, width, height, iters=32):
