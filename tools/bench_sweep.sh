@@ -46,4 +46,8 @@ run --mode full                  # end-to-end s/object (cold+warm recorded)
 run --mode full --noisy-masks    # MOPED-conditions variant
 run --mode train                 # batch-1 train step
 run --mode train --batch 8 --batch-groups 2 --remat   # published batch
+# End-to-end incl. the render loader (this container has ONE host core, so
+# the number is loader-bound here; real v5e hosts have ~100. The record
+# proves the path and captures the honest single-core figure.)
+run --mode train --real-data --loader-workers 2 --transport quantized --iters 25
 echo "=== sweep done -> $OUT ===" >&2
