@@ -713,6 +713,13 @@ def bench_train_step(args, input_size, camera_dist):
     print(f"# compile+first step: {cold_s:.1f}s", file=sys.stderr)
 
     iters = max(args.iters // 5, 3)
+    if loader_it is not None:
+        # Workers filled the prefetch queue during the minutes-long cold
+        # compile; drain that backlog so the timed loop measures the
+        # steady-state production rate, not buffered renders.
+        print("# draining prefetch backlog...", file=sys.stderr)
+        for _ in range(loader.prefetch + 1):
+            next(loader_it)
     t0 = time.time()
     for _ in range(iters):
         if loader_it is not None:

@@ -57,12 +57,25 @@ def make_procedural_blobs(out_dir, n_objs: int = 4, n_verts: int = 2000):
         v /= np.linalg.norm(v, axis=1, keepdims=True)
         v *= 0.8 + 0.4 * rng.rand(n_verts, 1)
         hull = ConvexHull(v)
+        # Keep only referenced vertices (interior points would inflate the
+        # per-render transform cost) and orient every face outward —
+        # ConvexHull simplices carry no consistent winding, and mixed
+        # windings corrupt averaged vertex normals.
+        hv = v[hull.vertices]
+        remap = np.full(len(v), -1, dtype=np.int64)
+        remap[hull.vertices] = np.arange(len(hull.vertices))
+        centroid = hv.mean(axis=0)
         p = out_dir / f"blob{i}.obj"
         with open(p, "w") as f:
-            for vv in v:
+            for vv in hv:
                 f.write(f"v {vv[0]:.5f} {vv[1]:.5f} {vv[2]:.5f}\n")
             for s in hull.simplices:
-                f.write(f"f {s[0] + 1} {s[1] + 1} {s[2] + 1}\n")
+                a, b, c = v[s[0]], v[s[1]], v[s[2]]
+                n = np.cross(b - a, c - a)
+                if np.dot(n, a - centroid) < 0:
+                    s = (s[0], s[2], s[1])
+                r = remap[list(s)] + 1
+                f.write(f"f {r[0]} {r[1]} {r[2]}\n")
         paths.append(p)
     return paths
 

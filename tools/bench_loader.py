@@ -39,11 +39,6 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 
-def make_blob_objs(tmp: Path, n_objs: int, n_verts: int):
-    """Procedural convex blobs (no dataset assets in this environment)."""
-    from latentfusion_tpu.data.synthetic import make_procedural_blobs
-
-    return make_procedural_blobs(tmp, n_objs, n_verts)
 
 
 def bench_rasterizer(paths, width, height, iters=32):
@@ -120,10 +115,11 @@ def main():
     ap.add_argument("--transport", choices=["quantized"], default=None)
     args = ap.parse_args()
 
-    from latentfusion_tpu.data.synthetic import SyntheticDataset
+    from latentfusion_tpu.data.synthetic import (SyntheticDataset,
+                                                 make_procedural_blobs)
 
     tmp = Path(tempfile.mkdtemp())
-    paths = make_blob_objs(tmp, 4, args.verts)
+    paths = make_procedural_blobs(tmp, 4, args.verts)
 
     print(json.dumps(bench_rasterizer(paths, args.width, args.height)),
           flush=True)
@@ -135,7 +131,12 @@ def main():
     ds.worker_init_fn(0)
     print(json.dumps(bench_dataset(ds)), flush=True)
 
-    ds._renderer = None  # re-init per worker
+    # Workers re-init their own renderer AND PRNG key; the parent's
+    # worker_init_fn(0) above set a live jax.Array on ds, which must not
+    # be pickled into spawn children (see
+    # tests/test_data.py::test_dataset_pickles_without_jax_arrays).
+    ds._renderer = None
+    ds._key = None
     print(json.dumps(bench_loader(ds, args.workers, args.transport,
                                   args.batch)), flush=True)
 

@@ -260,8 +260,13 @@ def main(argv=None):
         with conn:
             rfile = conn.makefile("r", encoding="utf-8")
             wfile = conn.makefile("w", encoding="utf-8")
-            if serve_lines(service, rfile, wfile):
-                return
+            try:
+                if serve_lines(service, rfile, wfile):
+                    return
+            except (BrokenPipeError, ConnectionResetError, OSError) as e:
+                # A dropped client must not kill the resident model and
+                # its warm-compiled loops; wait for the next connection.
+                logger.warning("client connection lost: %s", e)
 
 
 if __name__ == "__main__":

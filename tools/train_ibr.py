@@ -126,7 +126,8 @@ def main(argv=None):
 
     dataset = A.get_dataset(args)
     loader = IterableLoader(dataset, batch_size=args.batch_size,
-                            num_workers=args.num_workers)
+                            num_workers=args.num_workers,
+                            transport=args.transport)
 
     input_noise_sched = ExponentialScheduler(
         1.0, 1e-4, args.input_noise_epochs) if discriminator else None
