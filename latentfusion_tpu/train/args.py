@@ -39,6 +39,11 @@ def add_common_args(parser: argparse.ArgumentParser):
                    help="unused on TPU; kept for recipe compatibility")
     g.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all local devices")
+    g.add_argument("--fsdp", type=int, default=0, metavar="N",
+                   help="shard params + optimizer state N-ways (ZeRO-3 "
+                        "style) over the fsdp axis of a 2-D data x fsdp "
+                        "mesh; 0 disables. Implies --data-parallel over "
+                        "the remaining devices/N axis.")
     g.add_argument("--use-amp", action="store_true",
                    help="bf16 conv compute (TPU analog of CUDA AMP)")
     g.add_argument("--remat", action="store_true",

@@ -88,7 +88,8 @@ def generator_losses(photographer, y: Dict, batch_gt: Dict, config: Dict,
 
 
 def make_train_step(sculptor, fuser, photographer, optimizer,
-                    config: Optional[Dict] = None, num_microbatches: int = 1):
+                    config: Optional[Dict] = None, num_microbatches: int = 1,
+                    state_shardings=None):
     """Build the jitted training step.
 
     The returned ``step(state, batch, key, depth_k)`` expects a processed
@@ -96,6 +97,13 @@ def make_train_step(sculptor, fuser, photographer, optimizer,
     ``{'in': {image (B,V,3,h,w), depth, mask, camera(B*V)}, 'out_gt': {...}}``.
     ``depth_k`` is the annealed hard-pixel k (static; milestones change it
     between compilations, reference: train_reconstruct.py:424-425).
+
+    ``state_shardings`` (a ``TrainState`` of ``NamedSharding``, see
+    ``parallel.fsdp_shardings``) pins the updated state's layout so
+    ZeRO-style parameter/optimizer sharding persists across steps — without
+    the constraint GSPMD may re-replicate the params after the optimizer
+    update. XLA inserts the param all-gathers / grad reduce-scatters from
+    the shardings; nothing here is collective-aware.
     """
     config = config or {}
 
@@ -141,7 +149,11 @@ def make_train_step(sculptor, fuser, photographer, optimizer,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss, aux
+        new_state = TrainState(params, opt_state, state.step + 1)
+        if state_shardings is not None:
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, state_shardings)
+        return new_state, loss, aux
 
     return jax.jit(step)
 
@@ -167,7 +179,8 @@ class GanTrainState(NamedTuple):
 def make_recon_train_step(sculptor, fuser, photographer, g_optimizer,
                           discriminator=None, d_optimizer=None,
                           config: Optional[Dict] = None,
-                          num_microbatches: int = 1):
+                          num_microbatches: int = 1,
+                          state_shardings=None):
     """Full training iteration:
 
     process_batch -> optional input masking/noise -> encode -> decode on
@@ -426,8 +439,13 @@ def make_recon_train_step(sculptor, fuser, photographer, g_optimizer,
             scalars["loss/discriminator/fake"] = ld_fake
             scalars["loss/discriminator/total"] = d_loss
 
-        return GanTrainState(params, opt_state, d_params, d_opt_state,
-                             state.step + 1), scalars
+        new_state = GanTrainState(params, opt_state, d_params, d_opt_state,
+                                  state.step + 1)
+        if state_shardings is not None:
+            # Pin the updated state's ZeRO/FSDP layout (see make_train_step).
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, state_shardings)
+        return new_state, scalars
 
     return jax.jit(step)
 

@@ -91,3 +91,23 @@ def test_moved_dataset_path_rewrite(tmp_path):
     args.dataset_path = live
     out = load_checkpoint_args({"dataset_path": str(old)}, args, override="")
     assert str(out.dataset_path) == str(old)
+
+
+def test_fsdp_cli_smoke(tmp_path):
+    """--fsdp N trains on a 2-D data x fsdp mesh: params + opt state sharded
+    over the fsdp axis, batch over data (8 virtual devices -> 2x4)."""
+    from test_data import make_cube_obj
+
+    import train_reconstruct
+
+    mesh_dir = tmp_path / "meshes"
+    mesh_dir.mkdir()
+    make_cube_obj(mesh_dir)
+
+    argv = list(BASE_ARGV)
+    argv[argv.index(None)] = str(tmp_path / "runs")
+    argv[argv.index("--batch-size") + 1] = "2"
+    argv += ["--dataset-path", str(mesh_dir), "--fsdp", "4"]
+    train_reconstruct.main(argv)
+    # Completed one epoch and saved a checkpoint directory.
+    assert next((tmp_path / "runs").iterdir(), None) is not None

@@ -208,17 +208,31 @@ def main(argv=None):
     config = {k: v for k, v in vars(args).items()
               if isinstance(v, (int, float, str, bool, type(None)))}
     config["camera_dist"] = camera_dist
-    step_fn = make_recon_train_step(sculptor, fuser, photographer,
-                                    g_optimizer, discriminator, d_optimizer,
-                                    config)
-
     dataset = A.get_dataset(args)
     mesh = None
     sharding = None
-    if args.data_parallel and len(jax.devices()) > 1:
+    state_shardings = None
+    if getattr(args, "fsdp", 0) and args.fsdp > 1:
+        n_dev = len(jax.devices())
+        if n_dev % args.fsdp:
+            raise SystemExit(
+                f"--fsdp {args.fsdp} does not divide {n_dev} devices")
+        mesh = parallel.make_mesh_2d(n_dev // args.fsdp, args.fsdp)
+        sharding = parallel.batch_sharding(mesh, parallel.DATA_AXIS)
+        state_shardings = parallel.fsdp_shardings(state, mesh)
+        state = jax.tree_util.tree_map(jax.device_put, state,
+                                       state_shardings)
+        logger.info("FSDP: %dx%d data x fsdp mesh, params+opt state "
+                    "sharded %d-ways", n_dev // args.fsdp, args.fsdp,
+                    args.fsdp)
+    elif args.data_parallel and len(jax.devices()) > 1:
         mesh = parallel.make_mesh()
         sharding = parallel.batch_sharding(mesh)
         state = parallel.replicate(state, mesh)
+
+    step_fn = make_recon_train_step(sculptor, fuser, photographer,
+                                    g_optimizer, discriminator, d_optimizer,
+                                    config, state_shardings=state_shardings)
     loader = IterableLoader(dataset, batch_size=args.batch_size,
                             num_workers=args.num_workers, sharding=sharding,
                             transport=args.transport)
