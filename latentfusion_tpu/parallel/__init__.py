@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 HYPOTHESIS_AXIS = "hypothesis"
 FSDP_AXIS = "fsdp"
+MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = DATA_AXIS,
@@ -122,6 +123,38 @@ def shard_fsdp(tree, mesh: Mesh, axis_name: str = FSDP_AXIS,
     """Device-put a state pytree with per-leaf FSDP shardings."""
     shardings = fsdp_shardings(tree, mesh, axis_name, min_leaf_size)
     return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+
+def tp_spec(shape: Sequence[int], n_model: int,
+            axis_name: str = MODEL_AXIS,
+            min_leaf_size: int = 2 ** 12) -> P:
+    """Tensor-parallel PartitionSpec: shard the OUT-channel dim (dim 0).
+
+    Conv/linear weights here are ``(out_ch, in_ch, *k)`` (torch layout for
+    checkpoint parity), so sharding dim 0 makes every layer's activations
+    channel-sharded; GSPMD inserts the partial-sum all-reduces where a
+    following contraction needs them. Heads with few channels (depth/mask,
+    out_ch 1-4) and small leaves stay replicated.
+    """
+    size = int(np.prod(shape)) if len(shape) else 1
+    if size < min_leaf_size or not shape or shape[0] % n_model != 0:
+        return P()
+    return P(axis_name)
+
+
+def tp_shardings(tree, mesh: Mesh, axis_name: str = MODEL_AXIS,
+                 min_leaf_size: int = 2 ** 12):
+    """Per-leaf tensor-parallel NamedShardings for a parameter pytree.
+
+    Use with a 1-D ``model`` mesh (``make_mesh(n, MODEL_AXIS)``) to cut
+    single-object decode latency across chips — the serving axis, where
+    there is no hypothesis batch to shard.
+    """
+    n_model = mesh.shape[axis_name]
+    return jax.tree_util.tree_map(
+        lambda x: NamedSharding(
+            mesh, tp_spec(jnp_shape(x), n_model, axis_name, min_leaf_size)),
+        tree)
 
 
 def batch_sharding(mesh: Mesh, axis_name: Optional[str] = None) -> NamedSharding:

@@ -326,3 +326,41 @@ def test_fsdp_train_step_matches_replicated():
         for leaf in jax.tree_util.tree_leaves(new_state.params))
     assert n_out_sharded == n_sharded, (
         "with_sharding_constraint failed to pin the updated state's layout")
+
+
+def test_tensor_parallel_decode_matches():
+    """Model-axis TP: decoder weights sharded on out-channels across a
+    4-device model mesh render identically to replicated execution (the
+    single-object serving-latency axis — no hypothesis batch to shard)."""
+    photographer = zoo.tiny_photographer()
+    key = jax.random.PRNGKey(0)
+    n_hyp = 2
+    cam = make_camera(n_hyp, z=1.5, f=64, width=64, height=48,
+                      key=jax.random.PRNGKey(1))
+    cam = cam.zoom(None, 16, 1.5)
+    z = jnp.zeros((n_hyp, 4, 8, 8, 8))
+    params = photographer.init(key, z, cam)
+    z_obj = jax.random.normal(key, (1, 1, 4, 8, 8, 8))
+
+    def decode(p, zo, c):
+        y, _, _ = models.decode(photographer, p, zo, c)
+        return y["depth"], y["mask"]
+
+    ref_d, ref_m = jax.jit(decode)(params, z_obj, cam)
+
+    mesh = parallel.make_mesh(4, axis_name=parallel.MODEL_AXIS)
+    p_sh = parallel.tp_shardings(params, mesh, min_leaf_size=2)
+    params_tp = jax.tree_util.tree_map(jax.device_put, params, p_sh)
+    n_sharded = sum(
+        hasattr(x, "addressable_shards") and x.ndim > 0
+        and x.addressable_shards[0].data.shape != x.shape
+        for x in jax.tree_util.tree_leaves(params_tp))
+    assert n_sharded > 0, "no decoder weight actually TP-sharded"
+    z_rep = parallel.replicate(z_obj, mesh)
+    cam_rep = parallel.replicate(cam, mesh)
+    with mesh:
+        out_d, out_m = jax.jit(decode)(params_tp, z_rep, cam_rep)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(ref_d),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref_m),
+                               atol=1e-5)
