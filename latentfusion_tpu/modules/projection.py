@@ -90,10 +90,12 @@ class FactorProjection3d2d(nn.Module):
         from ..layout import channels_last
 
         if channels_last():
-            # (N, D, H, W, C) -> (N, H, W, C*D) with flat index c*D + d so
-            # the torch-layout conv weights apply unchanged.
-            n, d, h, w, c = x.shape
-            x = x.transpose(0, 2, 3, 4, 1).reshape(n, h, w, c * d)
+            # Hand the 5-D (N, D, H, W, C) volume straight to the 1x1
+            # conv: EqualizedConv contracts (d, c) against the kernel
+            # viewed as (O, C, D) — the same matmul as transpose+reshape
+            # +conv1x1, minus the physical relayout copies that pattern
+            # costs fwd+bwd (round-3 refinement profile).
+            pass
         else:
             x = x.reshape(x.shape[0], x.shape[1] * x.shape[2],
                           x.shape[3], x.shape[4])

@@ -152,7 +152,9 @@ def _axis_factor_vmem(x, size, padding_mode, dtype):
         x = jnp.clip(x, 0.0, size - 1)
     i0 = jnp.floor(x)
     w1 = x - i0
-    j = jax.lax.broadcasted_iota(jnp.float32, (x.shape[0], size), 1)
+    # Integer iota + cast: Mosaic rejects float-result tpu.iota directly.
+    j = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], size),
+                                 1).astype(jnp.float32)
     f = ((j == i0) * (1.0 - w1) + (j == (i0 + 1)) * w1)
     return f.astype(dtype)
 
@@ -164,7 +166,8 @@ def _axis_dfactor_vmem(x, size, padding_mode):
     ``_axis_factor``."""
     xc = jnp.clip(x, 0.0, size - 1) if padding_mode == "border" else x
     i0 = jnp.floor(xc)
-    j = jax.lax.broadcasted_iota(jnp.float32, (x.shape[0], size), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], size),
+                                 1).astype(jnp.float32)
     df = (j == (i0 + 1)).astype(jnp.float32) - (j == i0).astype(jnp.float32)
     if padding_mode == "border":
         valid = ((x >= 0.0) & (x <= size - 1)).astype(jnp.float32)

@@ -30,7 +30,7 @@ for pm in ("zeros", "border"):
     a = np.asarray(f(grid)); da = np.asarray(gr(grid))
     b = np.asarray(grid_sample_3d_matmul(
         jnp.tile(vol, (8, 1, 1, 1, 1)), grid, padding_mode=pm))
-    assert np.allclose(a, b, atol=2e-2), (pm, np.abs(a - b).max())
+    assert np.allclose(a, b, atol=3e-2), (pm, np.abs(a - b).max())
     assert np.isfinite(da).all()
 print("kernel smoke OK on", jax.devices()[0].device_kind)
 PY
