@@ -188,7 +188,13 @@ def _kernel_fwd(cf_ref, vol_ref, out_ref, *, w, h, d, padding_mode,
     """out[k, c] = sum_jx wx[k, jx] * ((wz (x) wy) @ vol[jx])[k, c]."""
     compute_dtype = vol_ref.dtype
     dh = d * h
-    wx, wy, wz = _factors_from_coords(cf_ref[0], w, h, d, padding_mode,
+    # The coords operand arrives transposed — (8, BK), samples on the
+    # LANE dimension — so its HBM layout is lane-dense: an (N, Kp, 8)
+    # operand tiles T(8,128) with only 8 of 128 lanes live, inflating
+    # every staged DMA 16x (profiled 0.3-0.7 ms/slice-start spans in the
+    # refinement loop). One in-VMEM transpose per grid step recovers the
+    # (BK, 8) orientation the factor build wants.
+    wx, wy, wz = _factors_from_coords(cf_ref[0].T, w, h, d, padding_mode,
                                       compute_dtype)
     wzy, _, _ = _zy_tile(wz, wy, compute_dtype)
     acc = None
@@ -208,7 +214,7 @@ def _kernel_bwd_grid(cf_ref, g_ref, vol_ref, dcf_ref, *, w, h, d,
     compute_dtype = vol_ref.dtype
     dh = d * h
     g = g_ref[0]
-    cf = cf_ref[0]
+    cf = cf_ref[0].T  # lane-major operand -> (BK, 8); see _kernel_fwd
     wx, wy, wz = _factors_from_coords(cf, w, h, d, padding_mode,
                                       compute_dtype)
     wzy, wz_rep, wy_rep = _zy_tile(wz, wy, compute_dtype)
@@ -228,10 +234,12 @@ def _kernel_bwd_grid(cf_ref, g_ref, vol_ref, dcf_ref, *, w, h, d,
     sel_z, sel_y = _sel_matrices(d, h, jnp.float32)
     dwy = _dot(dwzy_acc * wz_rep, sel_y, contract=((1,), (1,)))  # (BK, H)
     dwz = _dot(dwzy_acc * wy_rep, sel_z, contract=((1,), (1,)))  # (BK, D)
-    dcf_ref[0, :, 0:1] = dx_acc
-    dcf_ref[0, :, 1:2] = (dwy * dfy).sum(axis=1, keepdims=True)
-    dcf_ref[0, :, 2:3] = (dwz * dfz).sum(axis=1, keepdims=True)
-    dcf_ref[0, :, 3:] = jnp.zeros((cf.shape[0], cf.shape[1] - 3),
+    # Transposed output rows (samples on lanes), matching the operand
+    # layout so the cotangent leaving the kernel is lane-dense too.
+    dcf_ref[0, 0:1, :] = dx_acc.T
+    dcf_ref[0, 1:2, :] = (dwy * dfy).sum(axis=1, keepdims=True).T
+    dcf_ref[0, 2:3, :] = (dwz * dfz).sum(axis=1, keepdims=True).T
+    dcf_ref[0, 3:, :] = jnp.zeros((dcf_ref.shape[1] - 3, cf.shape[0]),
                                   jnp.float32)
 
 
@@ -247,7 +255,7 @@ def _kernel_bwd_vol(cf_ref, g_ref, out_ref, *, w, h, d, padding_mode,
         # contiguous hypothesis block starts its accumulator.
         first = jnp.logical_and(pl.program_id(0) % group == 0, first)
     g = g_ref[0]
-    wx, wy, wz = _factors_from_coords(cf_ref[0], w, h, d, padding_mode,
+    wx, wy, wz = _factors_from_coords(cf_ref[0].T, w, h, d, padding_mode,
                                       compute_dtype)
     wzy, _, _ = _zy_tile(wz, wy, jnp.float32)
     for jx in range(w):
@@ -283,16 +291,19 @@ def _vol_index_map(nv, n):
     return lambda ni, ki: (ni // group, 0, 0)
 
 
-def _factor_spec(width):
-    return pl.BlockSpec((1, _BK, width), lambda ni, ki: (ni, ki, 0),
+def _coords_spec(width):
+    """Transposed coords/cotangent blocks: (1, 8, BK) with samples on the
+    lane dimension — lane-dense HBM tiles (see _kernel_fwd)."""
+    return pl.BlockSpec((1, width, _BK), lambda ni, ki: (ni, 0, ki),
                         memory_space=pltpu.VMEM)
 
 
 def _fused_core(out_dtype, w, h, d, padding_mode, vol_x, coords):
     """vol_x: (NV, J', C) volume flattened in (x, z, y) order, bf16, with
-    NV | N; coords: (N, Kp, 8) f32 padded (x, y, z) pixel coordinates.
-    Returns (N, Kp, C) in ``out_dtype`` (fp32 accumulation)."""
-    n, kp, f = coords.shape
+    NV | N; coords: (N, 8, Kp) f32 padded (x, y, z) pixel coordinates,
+    samples lane-major. Returns (N, Kp, C) in ``out_dtype`` (fp32
+    accumulation)."""
+    n, f, kp = coords.shape
     dh = d * h
     nv, _, c = vol_x.shape
     # Per-slab (BK,DH)@(DH,C) dots + in-lane wx weighting over n*kp/BK
@@ -305,7 +316,7 @@ def _fused_core(out_dtype, w, h, d, padding_mode, vol_x, coords):
                           padding_mode=padding_mode, out_dtype=out_dtype),
         grid=(n, kp // _BK),
         in_specs=[
-            _factor_spec(f),
+            _coords_spec(f),
             pl.BlockSpec((1, w * dh, c), _vol_index_map(nv, n),
                          memory_space=pltpu.VMEM),
         ],
@@ -329,7 +340,7 @@ def _fused_fwd(out_dtype, w, h, d, padding_mode, vol_x, coords):
 def _fused_bwd(out_dtype, w, h, d, padding_mode, res, g):
     vol_x, coords = res
     compute_dtype = vol_x.dtype
-    n, kp, f = coords.shape
+    n, f, kp = coords.shape
     dh = d * h
     nv, _, c = vol_x.shape
     g16 = g.astype(compute_dtype)
@@ -343,14 +354,14 @@ def _fused_bwd(out_dtype, w, h, d, padding_mode, res, g):
                           padding_mode=padding_mode),
         grid=(n, kp // _BK),
         in_specs=[
-            _factor_spec(f),
+            _coords_spec(f),
             pl.BlockSpec((1, _BK, c), lambda ni, ki: (ni, ki, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w * dh, c), _vol_index_map(nv, n),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=_factor_spec(f),
-        out_shape=jax.ShapeDtypeStruct((n, kp, f), jnp.float32),
+        out_specs=_coords_spec(f),
+        out_shape=jax.ShapeDtypeStruct((n, f, kp), jnp.float32),
         interpret=_interpret(),
     )(coords, g16, vol_x)
 
@@ -364,7 +375,7 @@ def _fused_bwd(out_dtype, w, h, d, padding_mode, res, g):
                           compute_dtype=compute_dtype, group=n // nv),
         grid=(n, kp // _BK),
         in_specs=[
-            _factor_spec(f),
+            _coords_spec(f),
             pl.BlockSpec((1, _BK, c), lambda ni, ki: (ni, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -426,20 +437,21 @@ def grid_sample_3d_fused(input, grid, padding_mode: str = "zeros",
     x = _unnormalize(g[..., 0], w)
     y = _unnormalize(g[..., 1], h)
     z = _unnormalize(g[..., 2], d)
-    # (N, K, 8) padded pixel-coordinate operand — factors are built inside
-    # the kernels (see _axis_factor_vmem). K-padding uses -2.0: zero taps
-    # and zero derivative in zeros mode; in border mode the clip maps the
-    # pad to a full-weight corner tap, but those rows are sliced off the
-    # forward output below and their cotangent is zero-padded by the
-    # slice VJP, so neither the output nor d/dvol sees them. (Do NOT use
-    # _fused_sample's unsliced output directly in border mode.)
-    coords = jnp.stack([x, y, z], axis=-1)
-    coords = jnp.pad(coords, ((0, 0), (0, 0), (0, 5)))
+    # (N, 8, Kp) padded pixel-coordinate operand, samples LANE-major (the
+    # (N, K, 8) orientation tiles T(8,128) with 8 of 128 lanes live — a
+    # 16x DMA inflation on every staging copy in the refinement loop) —
+    # factors are built inside the kernels (see _axis_factor_vmem).
+    # K-padding uses -2.0: zero taps and zero derivative in zeros mode; in
+    # border mode the clip maps the pad to a full-weight corner tap, but
+    # those rows are sliced off the forward output below and their
+    # cotangent is zero-padded by the slice VJP, so neither the output nor
+    # d/dvol sees them. (Do NOT use _fused_sample's unsliced output
+    # directly in border mode.)
+    coords = jnp.stack([x, y, z], axis=1)  # (N, 3, K)
 
     kp = _round_up(k, _BK)
-    if kp != k:
-        coords = jnp.pad(coords, ((0, 0), (0, kp - k), (0, 0)),
-                         constant_values=-2.0)
+    coords = jnp.pad(coords, ((0, 0), (0, 5), (0, kp - k)),
+                     constant_values=-2.0)
 
     out = _fused_sample(out_dtype, w, h, d, padding_mode,
                         vol_x, coords)[:, :k]  # (N, K, C)
