@@ -100,11 +100,20 @@ class EllipsoidOracleModel:
         return jnp.zeros((1, 1, 1, 1, 1, 1))
 
     def make_observation(self, camera: Camera,
-                         full_size: Optional[tuple] = None) -> Observation:
-        """Ground-truth full-frame observation of the ellipsoid."""
+                         full_size: Optional[tuple] = None,
+                         shaded: bool = False) -> Observation:
+        """Ground-truth full-frame observation of the ellipsoid.
+
+        ``shaded=True`` renders a procedurally textured, headlight-lit
+        color channel (orientation-informative — the analog of the
+        reference's random PBR materials, training/pyrender.py:232-250)
+        instead of the silhouette broadcast."""
         depth, mask, _ = render_ellipsoid_full(camera, self.axes)
-        color = jnp.broadcast_to(
-            mask, (camera.length, 3, camera.height, camera.width))
+        if shaded:
+            color = render_ellipsoid_color(camera, depth, mask, self.axes)
+        else:
+            color = jnp.broadcast_to(
+                mask, (camera.length, 3, camera.height, camera.width))
         return Observation(color, depth, (mask > 0.5).astype(jnp.float32),
                            camera)
 
@@ -134,6 +143,41 @@ def render_ellipsoid_full(camera: Camera, axes=(0.15, 0.25, 0.35)):
     depth = jnp.where(hit, t, 0.0)[:, None]
     mask = hit.astype(jnp.float32)[:, None]
     return depth, mask, None
+
+
+def render_ellipsoid_color(camera: Camera, depth, mask,
+                           axes=(0.15, 0.25, 0.35)):
+    """Procedural texture + headlight Lambertian shading for the analytic
+    ellipsoid. Hit points are back-projected from the rendered depth; the
+    implicit-surface normal is p/axes^2 normalized. The sinusoidal texture
+    is a function of the OBJECT-frame hit point, so color observations are
+    informative about orientation (unlike the silhouette broadcast)."""
+    u, v = camera.pixel_coords_uv((camera.height, camera.width))
+    u0 = camera.u0.reshape(-1, 1, 1)
+    v0 = camera.v0.reshape(-1, 1, 1)
+    fu = camera.fu.reshape(-1, 1, 1)
+    fv = camera.fv.reshape(-1, 1, 1)
+    z = depth[:, 0]  # (N, h, w), camera-frame depth (0 at misses)
+    p_cam = jnp.stack(((u - u0) / fu * z, (v - v0) / fv * z, z), axis=-1)
+    R = camera.rotation_matrix[:, :3, :3]
+    p_obj = jnp.einsum("nji,nhwj->nhwi", R, p_cam) \
+        + camera.position[:, None, None, :]
+
+    inv_axes2 = 1.0 / jnp.asarray(axes) ** 2
+    n_obj = p_obj * inv_axes2
+    n_obj = n_obj / jnp.maximum(
+        jnp.linalg.norm(n_obj, axis=-1, keepdims=True), 1e-6)
+    # Headlight: light from the camera along the viewing ray.
+    view = camera.position[:, None, None, :] - p_obj
+    view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True),
+                              1e-6)
+    lambert = jnp.clip((n_obj * view).sum(-1), 0.0, 1.0)
+    phases = jnp.asarray([0.0, 2.1, 4.2])
+    tex = 0.55 + 0.45 * jnp.sin(
+        9.0 * p_obj.sum(-1)[..., None] + phases)  # (N, h, w, 3)
+    shade = (0.25 + 0.75 * lambert)[..., None] * tex
+    color = jnp.transpose(shade, (0, 3, 1, 2))
+    return color * mask
 
 
 def make_camera(n: int = 1, z: float = 3.90625, f: float = 250.0,
