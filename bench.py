@@ -180,6 +180,10 @@ def main():
     parser.add_argument("--json-out", default=None,
                         help="append the full accounting record as one JSON "
                              "line to this file (per-round artifact)")
+    parser.add_argument("--skip-breakdown", action="store_true",
+                        help="skip the warm per-phase breakdown in full "
+                             "mode (it reruns the warm pipeline, roughly "
+                             "doubling wall-clock for large --objects runs)")
     parser.add_argument("--skip-flops-probe", action="store_true",
                         help="skip the compiled-executable FLOPs probes "
                              "(vs_baseline and %%-peak become null)")
@@ -598,39 +602,42 @@ def bench_full_pipeline(args, model, oracle, cam0, input_size, camera_dist):
     # Warm per-phase breakdown (VERDICT r2 item 6): time latent build /
     # coarse CEM / gradient refinement separately with a host sync between
     # phases. Phase syncs add a little dispatch latency, so the breakdown
-    # run is timed independently of the headline number above.
-    def _sync_tree(tree):
-        jax.block_until_ready(tree)
-        return tree
+    # run is timed independently of the headline number above. It reruns
+    # the whole warm pipeline (~doubles warm wall-clock), so large
+    # --objects runs can skip it with --skip-breakdown (ADVICE r3).
+    breakdown = None
+    if not args.skip_breakdown:
+        def _sync_tree(tree):
+            jax.block_until_ready(tree)
+            return tree
 
-    t0 = time.time()
-    z_obj = _sync_tree(model.build_latent_object(ref_obs))
-    t_latent = time.time() - t0
-    if n_obj > 1:
-        from latentfusion_tpu.camera import Camera as _Cam
-
-        z_objs = jnp.concatenate([z_obj] * n_obj, axis=0)
         t0 = time.time()
-        coarse_out = _sync_tree(coarse.estimate_batch(
-            z_objs, targets, key=jax.random.PRNGKey(2)))
-        t_coarse = time.time() - t0
-        t0 = time.time()
-        _sync_tree(fine.estimate_batch(z_objs, targets,
-                                       cameras=_Cam.cat(coarse_out)))
-        t_fine = time.time() - t0
-    else:
-        t0 = time.time()
-        coarse_cams = _sync_tree(coarse.estimate(
-            z_obj, target_obs, key=jax.random.PRNGKey(2)))
-        t_coarse = time.time() - t0
-        t0 = time.time()
-        _sync_tree(fine.estimate(z_obj, target_obs,
-                                 camera=coarse_cams[:16]))
-        t_fine = time.time() - t0
-    breakdown = {"latent_build_s": round(t_latent / n_obj, 3),
-                 "coarse_cem_s": round(t_coarse / n_obj, 3),
-                 "gradient_refine_s": round(t_fine / n_obj, 3)}
-    print(f"# warm phase breakdown (s/object): {breakdown}", file=sys.stderr)
+        z_obj = _sync_tree(model.build_latent_object(ref_obs))
+        t_latent = time.time() - t0
+        if n_obj > 1:
+            z_objs = jnp.concatenate([z_obj] * n_obj, axis=0)
+            t0 = time.time()
+            coarse_out = _sync_tree(coarse.estimate_batch(
+                z_objs, targets, key=jax.random.PRNGKey(2)))
+            t_coarse = time.time() - t0
+            t0 = time.time()
+            _sync_tree(fine.estimate_batch(z_objs, targets,
+                                           cameras=Camera.cat(coarse_out)))
+            t_fine = time.time() - t0
+        else:
+            t0 = time.time()
+            coarse_cams = _sync_tree(coarse.estimate(
+                z_obj, target_obs, key=jax.random.PRNGKey(2)))
+            t_coarse = time.time() - t0
+            t0 = time.time()
+            _sync_tree(fine.estimate(z_obj, target_obs,
+                                     camera=coarse_cams[:16]))
+            t_fine = time.time() - t0
+        breakdown = {"latent_build_s": round(t_latent / n_obj, 3),
+                     "coarse_cem_s": round(t_coarse / n_obj, 3),
+                     "gradient_refine_s": round(t_fine / n_obj, 3)}
+        print(f"# warm phase breakdown (s/object): {breakdown}",
+              file=sys.stderr)
 
     unit = ("s (16-view reconstruction + cross_entropy_quick + adam_slow, "
             "flagship, warm jit cache)")

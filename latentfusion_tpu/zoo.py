@@ -102,11 +102,14 @@ def canonical_camera(n: int, input_size: int, camera_dist: float = 1.5,
 def init_recon_params(key, sculptor, fuser, photographer,
                       batch: int = 1, views: int = 1) -> dict:
     """Random-init parameters for the full reconstruction stack."""
+    # Inits are jitted: eager op-by-op dispatch over the tunneled TPU
+    # backend costs minutes for these module graphs (one remote round-trip
+    # per op); a single traced program initializes in seconds.
     k1, k2, k3 = jax.random.split(key, 3)
     in_size = sculptor.in_size
     cam_in = canonical_camera(batch * views, in_size)
     x = jnp.zeros((batch * views, sculptor.in_channels, in_size, in_size))
-    sculptor_params = sculptor.init(k1, x, cam_in)
+    sculptor_params = jax.jit(sculptor.init)(k1, x, cam_in)
 
     s = sculptor.out_size
     c = sculptor.out_channels
@@ -116,14 +119,14 @@ def init_recon_params(key, sculptor, fuser, photographer,
     init_views = max(views, 2)
     zv = jnp.zeros((batch, init_views, c, s, s, s))
     cam_fuse = canonical_camera(batch * init_views, in_size)
-    fuser_params = fuser.init(k2, zv, [], [], cam_fuse) if hasattr(
+    fuser_params = jax.jit(fuser.init)(k2, zv, [], [], cam_fuse) if hasattr(
         fuser, "init") else {}
     if isinstance(fuser, (fusion.PoolFuser, fusion.ConcatFuser)):
         fuser_params = {}
 
     cam_out = canonical_camera(batch, in_size)
     z = jnp.zeros((batch, c, s, s, s))
-    photographer_params = photographer.init(k3, z, cam_out)
+    photographer_params = jax.jit(photographer.init)(k3, z, cam_out)
     return {
         "sculptor": sculptor_params,
         "fuser": fuser_params,
