@@ -1,0 +1,427 @@
+#!/usr/bin/env python
+"""Unseen-object generalization: train the full pipeline on a POOL of
+procedural multi-lobe objects, then estimate pose on HELD-OUT objects never
+seen in training (VERDICT r3 missing #2 / next #2).
+
+The paper's headline capability is pose for *novel* objects with no
+per-object fine-tuning (reference README.md:3-15: train on ShapeNet,
+evaluate LINEMOD/MOPED). Round 3's accuracy artifacts all trained and
+evaluated on the same single object; this rig is the first in-repo evidence
+of the latent representation generalizing across objects.
+
+Setup (TPU-native analog of the ShapeNet synthetic stream,
+reference datasets/training/shapenet.py:92-125 + pyrender.py:302-342):
+  * objects are analytic multi-lobe shapes (union of rotated ellipsoid
+    lobes, ``testing.sample_lobe_shapes``) — an object IS a parameter
+    vector, so the whole train pool lives on device as stacked (K, ...)
+    arrays and each jitted training step gathers a random object index;
+    no host rendering, no mesh I/O, fresh cameras every step.
+  * per step: render V_in reference views of object k (shaded color +
+    depth + mask) -> zoom/prepare/normalize -> Sculptor.encode + GRUFuser
+    (= build_latent_object, gradients on) -> decode at V_out fresh cameras
+    -> dense depth L1 + mask BCE vs the analytic oracle + the full-frame
+    estimator-objective term.
+  * eval: for each HELD-OUT object, build the latent from reference views
+    with the trained encoder, run CEM coarse + gradient refinement against
+    rendered targets, gate ADD-S at 0.1 x diameter vs the object's surface
+    point cloud. An in-distribution control evaluates a TRAIN object the
+    same way to separate "can't generalize" from "can't fit".
+
+Run:  python tools/train_unseen_objects.py --steps 40000 \
+          --out artifacts/unseen_objects
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+INPUT_SIZE = 128
+CAMERA_DIST = 5.78  # canonical zoom distance for unit-diameter objects
+DIAMETER = 1.0
+
+SCULPTOR_IMAGE_CONFIG = (
+    (32, "D", 64, "D", 96, "D", 128, "D", 256, "D", 256, "D", 256),
+    (256, "U", 256, "U", 128),
+)
+SCULPTOR_CAMERA_CONFIG = (32, 64, 128)
+SCULPTOR_OBJECT_CONFIG = (128, 128)
+PHOTOGRAPHER_CAMERA_CONFIG = (128, 128)
+PHOTOGRAPHER_IMAGE_CONFIG = (
+    (128, "D", 256, "D", 256),
+    (256, "U", 256, "U", 256, "U", 128, "U", 96, "U", 64, "U", 48),
+)
+LATENT_CHANNELS = 128
+LATENT_SIZE = INPUT_SIZE // 16
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=40000)
+    parser.add_argument("--train-objects", type=int, default=10)
+    parser.add_argument("--heldout-objects", type=int, default=2)
+    parser.add_argument("--pool-seed", type=int, default=0,
+                        help="train pool shapes = seeds [0, K); held-out "
+                             "shapes drawn from an independent seed stream")
+    parser.add_argument("--views-in", type=int, default=6)
+    parser.add_argument("--views-out", type=int, default=8)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--out", type=Path,
+                        default=Path("artifacts/unseen_objects"))
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--eval-targets", type=int, default=6,
+                        help="pose targets per evaluated object")
+    parser.add_argument("--eval-views", type=int, default=16)
+    parser.add_argument("--skip-train", action="store_true")
+    parser.add_argument("--init-params", type=Path, default=None,
+                        help="warm-start all modules from an "
+                             "encoder-distill npz (same architecture)")
+    parser.add_argument("--frame-loss-weight", type=float, default=2.0)
+    parser.add_argument("--snapshot-steps", default="")
+    parser.add_argument("--curve-targets", type=int, default=4)
+    args = parser.parse_args()
+
+    import numpy as np
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    import jax.numpy as jnp
+    import optax
+
+    from latentfusion_tpu import dtypes, testing, three, zoo
+    from latentfusion_tpu.camera import Camera
+    from latentfusion_tpu.pose import estimation, metrics
+    from latentfusion_tpu.recon import fusion, models
+    from latentfusion_tpu.recon.inference import LatentFusionModel
+    from latentfusion_tpu.three import quaternion as quat
+
+    dtypes.set_compute_dtype("bfloat16")
+    args.out.mkdir(parents=True, exist_ok=True)
+    snapshot_steps = sorted(int(s) for s in args.snapshot_steps.split(",")
+                            if s.strip())
+
+    # ----------------------------------------------------------- objects
+    # The held-out shapes come from a disjoint seed stream, so they are
+    # novel geometry AND novel texture. The split is recorded in the
+    # artifact.
+    pool, train_clouds = testing.sample_lobe_shapes(
+        args.pool_seed, args.train_objects, diameter=DIAMETER)
+    heldout_pool, heldout_clouds = testing.sample_lobe_shapes(
+        args.pool_seed + 7919, args.heldout_objects, diameter=DIAMETER)
+
+    sculptor = models.Sculptor(
+        in_size=INPUT_SIZE,
+        image_config=SCULPTOR_IMAGE_CONFIG,
+        camera_config=SCULPTOR_CAMERA_CONFIG,
+        object_config=SCULPTOR_OBJECT_CONFIG,
+        projection_type="factor", cube_size=1.0, scale_mode="nearest",
+        input_color=True, input_depth=True, input_mask=True)
+    fuser = fusion.GRUFuser(in_channels=LATENT_CHANNELS, cube_size=1.0)
+    photographer = models.Photographer(
+        in_size=LATENT_SIZE,
+        image_config=PHOTOGRAPHER_IMAGE_CONFIG,
+        camera_config=PHOTOGRAPHER_CAMERA_CONFIG,
+        object_config=None, projection_type="factor",
+        predict_color=False, predict_depth=True, predict_mask=True,
+        cube_size=1.0, scale_mode="nearest")
+
+    key = jax.random.PRNGKey(0)
+
+    def random_full_cameras(key, n):
+        k1, k2 = jax.random.split(key)
+        quats = quat.random(k1, n)
+        t_noise = jax.random.normal(k2, (n, 3)) * jnp.asarray(
+            [0.1, 0.1, 0.25])
+        trans = jnp.asarray([0.0, 0.0, CAMERA_DIST]) + t_noise
+        ext = three.to_extrinsic_matrix(trans, quats)
+        template = zoo.canonical_camera(1, INPUT_SIZE,
+                                        camera_dist=CAMERA_DIST)
+        return Camera(jnp.broadcast_to(
+            template.intrinsic, (n, *template.intrinsic.shape[1:])), ext,
+            z_span=template.z_span, width=template.width,
+            height=template.height)
+
+    def oracle_observation(shape, camera):
+        depth, mask, _, lobe_onehot = testing.render_lobe_shape(camera,
+                                                                shape)
+        color = testing.lobe_shape_color(camera, depth, mask, lobe_onehot,
+                                         shape)
+        from latentfusion_tpu.observation import Observation
+        return Observation(color, depth, mask, camera)
+
+    def build_latent(train_params, shape, key):
+        cam_in = random_full_cameras(key, args.views_in)
+        obs = jax.lax.stop_gradient(oracle_observation(shape, cam_in))
+        obs = obs.zoom(CAMERA_DIST, INPUT_SIZE).prepare().normalize()
+        z_obj, _ = models.encode(
+            sculptor, train_params["sculptor"], fuser, train_params["fuser"],
+            obs.camera, obs.color[None], obs.depth[None], obs.mask[None])
+        return z_obj
+
+    def distill_loss(train_params, key):
+        k_obj, k_in, k_out = jax.random.split(key, 3)
+        obj = jax.random.randint(k_obj, (), 0, args.train_objects)
+        shape = testing.index_lobe_shape(pool_dev, obj)
+        z_obj = build_latent(train_params, shape, k_in)
+
+        cam_full = random_full_cameras(k_out, args.views_out)
+        cam = cam_full.zoom(None, INPUT_SIZE, CAMERA_DIST)
+        o_depth_m, o_mask, _, _ = testing.render_lobe_shape(
+            cam, shape, INPUT_SIZE)
+        o_depth = jnp.where(o_mask > 0.5, cam.normalize_depth(o_depth_m),
+                            -1.0)
+
+        y, _, _ = models.decode(photographer, train_params["photographer"],
+                                z_obj, cam, interpret=True)
+        pred_depth = y["depth"][0]
+        pred_mask_logits = y["mask_logits"][0]
+        depth_l1 = jnp.abs(pred_depth - o_depth).mean()
+        mask_bce = estimation._bce_with_logits(pred_mask_logits,
+                                               o_mask).mean()
+
+        loss = 25.0 * depth_l1 + 25.0 * mask_bce
+        frame_depth = jnp.zeros(())
+        if args.frame_loss_weight > 0.0:
+            target = jax.lax.stop_gradient(
+                oracle_observation(shape, cam_full))
+            z_depth = cam.denormalize_depth(pred_depth)
+            frame_ld = estimation.default_pose_loss(target, z_depth,
+                                                    pred_mask_logits, cam)
+            frame_depth = frame_ld["depth"].mean()
+            loss = loss + args.frame_loss_weight * (
+                frame_depth + 0.3 * frame_ld["ov_depth"].mean())
+        return loss, {"depth_l1": depth_l1, "mask_bce": mask_bce,
+                      "frame_depth": frame_depth}
+
+    def save_npz(train_params, path_stem):
+        host = jax.device_get(train_params)
+        flat = {"/".join(map(str, path)): np.asarray(leaf)
+                for path, leaf in
+                jax.tree_util.tree_flatten_with_path(host)[0]}
+        np.savez(args.out / f"{path_stem}.npz", **{
+            str(i): v for i, v in enumerate(flat.values())})
+        (args.out / f"{path_stem}_keys.json").write_text(
+            json.dumps(list(flat.keys())))
+
+    def init_params(key):
+        params = zoo.init_recon_params(key, sculptor, fuser, photographer,
+                                       batch=1, views=2)
+        if args.init_params is not None:
+            data = np.load(args.init_params)
+            leaves = [jnp.asarray(data[str(i)])
+                      for i in range(len(data.files))]
+            params = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(params), leaves)
+            print(f"# warm-started from {args.init_params}",
+                  file=sys.stderr)
+        return params
+
+    pool_dev = jax.device_put(pool)
+    history = []
+    snapshots = {}
+    if not args.skip_train:
+        train_params = init_params(key)
+        n_params = sum(int(np.prod(p.shape)) for p in
+                       jax.tree_util.tree_leaves(train_params))
+        print(f"# {n_params / 1e6:.1f}M trainable params | "
+              f"{args.train_objects} train objects, "
+              f"{args.heldout_objects} held out", file=sys.stderr)
+
+        schedule = optax.cosine_decay_schedule(args.lr, args.steps,
+                                               alpha=0.01)
+        opt = optax.adam(schedule, b1=0.9, b2=0.99)
+        opt_state = opt.init(train_params)
+
+        @jax.jit
+        def step(train_params, opt_state, key):
+            (loss, aux), grads = jax.value_and_grad(
+                distill_loss, has_aux=True)(train_params, key)
+            updates, opt_state = opt.update(grads, opt_state, train_params)
+            train_params = optax.apply_updates(train_params, updates)
+            return train_params, opt_state, loss, aux
+
+        print("# compiling distillation step...", file=sys.stderr)
+        t0 = time.time()
+        train_params, opt_state, loss, aux = step(train_params, opt_state,
+                                                  key)
+        jax.block_until_ready(loss)
+        print(f"# compile+first: {time.time() - t0:.0f}s "
+              f"loss={float(loss):.3f}", file=sys.stderr)
+
+        t0 = time.time()
+        for i in range(1, args.steps):
+            key, sub = jax.random.split(key)
+            train_params, opt_state, loss, aux = step(train_params,
+                                                      opt_state, sub)
+            if i in snapshot_steps:
+                snapshots[i] = jax.device_get(train_params)
+                print(f"# snapshot at step {i}", file=sys.stderr)
+            if i % 500 == 0 or i == args.steps - 1:
+                row = {"step": i, "loss": float(loss),
+                       "depth_l1": float(aux["depth_l1"]),
+                       "mask_bce": float(aux["mask_bce"]),
+                       "frame_depth": float(aux["frame_depth"])}
+                history.append(row)
+                print(f"step {i}: loss={row['loss']:.4f} "
+                      f"d={row['depth_l1']:.4f} m={row['mask_bce']:.4f} "
+                      f"f={row['frame_depth']:.4f} "
+                      f"({i / (time.time() - t0):.1f} steps/s)",
+                      file=sys.stderr, flush=True)
+
+        (args.out / "history.json").write_text(json.dumps(history))
+        save_npz(train_params, "unseen_objects")
+    else:
+        template = init_params(key)
+        data = np.load(args.out / "unseen_objects.npz")
+        leaves = [jnp.asarray(data[str(i)]) for i in range(len(data.files))]
+        train_params = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(template), leaves)
+
+    # --------------------------------------------------------------- eval
+    def evaluate_object(params, shape_pool, obj_idx, cloud, n_targets,
+                        tag=""):
+        """Full-contract estimate on one object: encoder latent from
+        reference views -> CEM coarse -> gradient refine -> ADD-S."""
+        shape = testing.index_lobe_shape(jax.device_put(shape_pool),
+                                         obj_idx)
+        model = LatentFusionModel(
+            sculptor=sculptor, sculptor_params=params["sculptor"],
+            fuser=fuser, fuser_params=params["fuser"],
+            photographer=photographer,
+            photographer_params=params["photographer"],
+            camera_dist=CAMERA_DIST)
+
+        ref_cams = random_full_cameras(jax.random.PRNGKey(7),
+                                       args.eval_views)
+        ref_obs = jax.jit(lambda c: oracle_observation(shape, c))(ref_cams)
+        z_obj = model.build_latent_object(ref_obs)
+
+        coarse = estimation.CrossEntropyPoseEstimator(
+            model=model, num_gmm_components=6, sample_flipped=True,
+            num_samples=128, num_iters=10, num_elites=48,
+            learning_rate=0.75, loss_weights={"depth": 1.0},
+            ranking_size=16)
+        fine = estimation.GradientPoseEstimator(
+            model=model, ranking_size=8,
+            loss_weights={"depth": 1.0, "ov_depth": 0.3},
+            learning_rate=0.01, num_samples=16, num_iters=150,
+            converge_threshold=1e-6, converge_patience=25, optimizer="adam")
+
+        points = jnp.asarray(cloud)
+        rows = []
+        ek = jax.random.PRNGKey(55)
+        for t in range(n_targets):
+            ek, k1, k2 = jax.random.split(ek, 3)
+            gt_cam = testing.make_camera(
+                1, z=CAMERA_DIST, f=615.0, width=640, height=480,
+                quats=quat.random(k1, 1))
+            target = jax.jit(
+                lambda c: oracle_observation(shape, c))(gt_cam)
+
+            coarse_cams = coarse.estimate(z_obj, target, key=k2)
+            best = fine.estimate(z_obj, target, camera=coarse_cams[:16])
+
+            def cam_metrics(c):
+                m = metrics.camera_metrics(gt_cam, c, points,
+                                           scale_to_meters=1.0)
+                return {k: float(m[k]) for k in
+                        ("add_s", "rotation_dist", "translation_dist")}
+
+            row = {"target": t,
+                   "coarse": cam_metrics(coarse_cams[0]),
+                   "refined": cam_metrics(best[0]),
+                   "add_s_01d": bool(cam_metrics(best[0])["add_s"]
+                                     < 0.1 * DIAMETER)}
+            rows.append(row)
+            print(f"{tag}target {t}: "
+                  f"coarse add_s={row['coarse']['add_s']:.4f} "
+                  f"refined={row['refined']['add_s']:.4f} "
+                  f"rot={row['refined']['rotation_dist']:.3f} "
+                  f"trans={row['refined']['translation_dist']:.4f} "
+                  f"0.1d={row['add_s_01d']}", flush=True)
+        acc = float(np.mean([r["add_s_01d"] for r in rows]))
+        return rows, acc
+
+    def evaluate_split(params, n_targets, tag=""):
+        out = {"heldout": [], "train_control": []}
+        for h in range(args.heldout_objects):
+            rows, acc = evaluate_object(
+                params, heldout_pool, h, heldout_clouds[h], n_targets,
+                tag=f"{tag}[heldout {h}] ")
+            out["heldout"].append({"object": h, "add_s_0.1d": acc,
+                                   "targets": rows})
+        rows, acc = evaluate_object(params, pool, 0, train_clouds[0],
+                                    n_targets, tag=f"{tag}[train 0] ")
+        out["train_control"].append({"object": 0, "add_s_0.1d": acc,
+                                     "targets": rows})
+        return out
+
+    curve = []
+    for s in sorted(snapshots):
+        res = evaluate_split(snapshots[s], args.curve_targets,
+                             tag=f"[step {s}] ")
+        held = [t for o in res["heldout"] for t in o["targets"]]
+        curve.append({
+            "step": s,
+            "heldout_add_s_0.1d": float(np.mean(
+                [t["add_s_01d"] for t in held])),
+            "heldout_mean_add_s": float(np.mean(
+                [t["refined"]["add_s"] for t in held])),
+            "heldout_mean_rotation_dist": float(np.mean(
+                [t["refined"]["rotation_dist"] for t in held])),
+            "train_add_s_0.1d": res["train_control"][0]["add_s_0.1d"],
+            "detail": res})
+        print(json.dumps({k: v for k, v in curve[-1].items()
+                          if k != "detail"}), flush=True)
+
+    res = evaluate_split(train_params, args.eval_targets)
+    held = [t for o in res["heldout"] for t in o["targets"]]
+    heldout_acc = float(np.mean([t["add_s_01d"] for t in held]))
+    if snapshot_steps and not args.skip_train:
+        curve.append({
+            "step": args.steps,
+            "heldout_add_s_0.1d": heldout_acc,
+            "heldout_mean_add_s": float(np.mean(
+                [t["refined"]["add_s"] for t in held])),
+            "heldout_mean_rotation_dist": float(np.mean(
+                [t["refined"]["rotation_dist"] for t in held])),
+            "train_add_s_0.1d": res["train_control"][0]["add_s_0.1d"],
+            "detail": res})
+        (args.out / "scaling_curve.json").write_text(
+            json.dumps(curve, indent=2))
+
+    summary = {
+        "heldout": res["heldout"],
+        "train_control": res["train_control"],
+        "heldout_add_s_0.1d": heldout_acc,
+        "train_add_s_0.1d": res["train_control"][0]["add_s_0.1d"],
+        "diameter": DIAMETER, "threshold": 0.1 * DIAMETER,
+        "split": {
+            "train_objects": args.train_objects,
+            "train_pool_seed": args.pool_seed,
+            "heldout_objects": args.heldout_objects,
+            "heldout_pool_seed": args.pool_seed + 7919,
+            "note": "held-out shapes come from a disjoint RNG stream: "
+                    "novel lobe geometry AND novel texture, never rendered "
+                    "during training",
+        },
+        "history": history[-5:],
+        "eval_views": args.eval_views,
+        "trained_with": "multi-object encoder-in-the-loop distillation "
+                        "(one random pool object per step; latent from "
+                        "Sculptor.encode + GRUFuser via "
+                        "build_latent_object)",
+    }
+    (args.out / "pose_eval.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps({"heldout_add_s_0.1d": heldout_acc,
+                      "train_add_s_0.1d":
+                          res["train_control"][0]["add_s_0.1d"]}))
+
+
+if __name__ == "__main__":
+    main()
