@@ -490,6 +490,22 @@ class PoseEstimator(abc.ABC):
 
 # ----------------------------------------------------------------- metropolis
 
+def metropolis_temperature(step, mean_z, num_iters):
+    """Annealing temperature: the reference's
+    ``ExponentialScheduler(0.1/mean_z, 0.005/mean_z, num_iters).get(step)``
+    (estimation.py:246-249, utils.py:151-162) evaluated on traced values so
+    one jit serves every ``estimate()`` call."""
+    mean_lifetime = -(num_iters - 1) / math.log(0.005 / 0.1)
+    return (0.1 / mean_z) * jnp.exp(-step / mean_lifetime)
+
+
+def metropolis_accept(prev_error, loss, temperature, uniforms):
+    """MH accept rule (reference: estimation.py:288-291): strict ``>`` on
+    ``exp((prev_error - loss) / T)`` against U(0,1) draws."""
+    transition_prob = jnp.exp((prev_error - loss) / temperature)
+    return transition_prob > uniforms
+
+
 class MetropolisPoseEstimator(PoseEstimator):
     """MH with simulated annealing (reference: estimation.py:219-295).
     The whole chain loop is one jitted ``lax.fori_loop``."""
@@ -514,20 +530,15 @@ class MetropolisPoseEstimator(PoseEstimator):
         use_latent = self.loss_weights.get("latent", 0.0) > 0.0
 
         if self._run_jit is None:
-            # Annealing temperature computed from traced values so the jit
-            # stays valid across estimate() calls (the reference recomputes
-            # the schedule per call, estimation.py:246-249).
-            mean_lifetime = -(self.num_iters - 1) / math.log(0.005 / 0.1)
-
             def run(key, camera, z_obj, target_obs, mean_z):
-                # z_obj/target_obs/t0 closed over run()'s arguments, not
+                # z_obj/target_obs closed over run()'s arguments, not
                 # carried (loop-invariant; see the gradient loop's note).
-                t0 = 0.1 / mean_z
 
                 def body(step, state):
                     key, camera, error, ranking = state
                     key, k1, k2 = jax.random.split(key, 3)
-                    temperature = t0 * jnp.exp(-step / mean_lifetime)
+                    temperature = metropolis_temperature(step, mean_z,
+                                                         self.num_iters)
                     proposal = pu.perturb_camera(k1, camera,
                                                  self.translation_std,
                                                  self.quaternion_std)
@@ -536,9 +547,9 @@ class MetropolisPoseEstimator(PoseEstimator):
                     loss, _ = self._score_hypotheses(z_obj, target_obs,
                                                      proposal,
                                                      z_target_latent)
-                    transition_prob = jnp.exp((error - loss) / temperature)
-                    accept = (transition_prob
-                              > jax.random.uniform(k2, loss.shape))
+                    accept = metropolis_accept(
+                        error, loss, temperature,
+                        jax.random.uniform(k2, loss.shape))
                     camera = camera.replace(
                         log_quaternion=jnp.where(accept[:, None],
                                                  proposal.log_quaternion,
@@ -595,19 +606,18 @@ class MetropolisPoseEstimator(PoseEstimator):
         mean_zs = cam_inits.translation[:, -1]  # (B,) per-object depth init
         n = self.num_samples
         use_latent = self.loss_weights.get("latent", 0.0) > 0.0
-        mean_lifetime = -(self.num_iters - 1) / math.log(0.005 / 0.1)
 
         def run(key, camera, z_obj, target_obs, mean_z):
             # Loop-invariant operands closed over run()'s arguments, not
             # carried (see the single-object loop's note).
             target_rep = jax.tree_util.tree_map(
                 lambda x: jnp.repeat(x, n, axis=0), target_obs)
-            t0 = 0.1 / mean_z
 
             def body(step, state):
                 key, camera, error, ranking = state
                 key, k1, k2 = jax.random.split(key, 3)
-                temperature = t0 * jnp.exp(-step / mean_lifetime)
+                temperature = metropolis_temperature(step, mean_z,
+                                                     self.num_iters)
                 proposal = pu.perturb_camera(k1, camera, self.translation_std,
                                              self.quaternion_std)
                 # target_rep is hypothesis-aligned (B*n frames), so the
@@ -618,8 +628,8 @@ class MetropolisPoseEstimator(PoseEstimator):
                     target_rep, proposal) if use_latent else None)
                 loss, _ = self._score_hypotheses(z_obj, target_rep, proposal,
                                                  z_target_latent)
-                transition_prob = jnp.exp((error - loss) / temperature)
-                accept = transition_prob > jax.random.uniform(k2, loss.shape)
+                accept = metropolis_accept(error, loss, temperature,
+                                           jax.random.uniform(k2, loss.shape))
                 camera = camera.replace(
                     log_quaternion=jnp.where(accept[:, None],
                                              proposal.log_quaternion,

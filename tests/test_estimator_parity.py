@@ -209,6 +209,16 @@ class TestPlateauLRParity:
                 i, int(num_bad[0]), sched.num_bad_epochs)
 
 
+def _tcam_to_jcam(tcam):
+    """Convert a reference torch Camera into our pytree Camera."""
+    from latentfusion_tpu.camera import Camera as JaxCamera
+
+    return JaxCamera(
+        np.asarray(tcam.intrinsic), np.asarray(tcam.extrinsic),
+        z_span=float(np.asarray(tcam.z_span).reshape(-1)[0]),
+        width=tcam.width, height=tcam.height)
+
+
 def _make_target_pair(rng):
     """Identical full-frame synthetic targets in both frameworks."""
     from latentfusion.observation import Observation as TorchObservation
@@ -255,6 +265,231 @@ def _model_pair():
         camera_dist=1.5)
     j_model.input_size = 16
     return t_model, j_model
+
+
+class TestMetropolisParity:
+    """Cross-framework Metropolis-Hastings parity (VERDICT r3 next #6b):
+    the annealing schedule and the accept/reject decisions on a SHARED
+    proposal stream vs the reference's actual ``_refine_pose``
+    (reference: estimation.py:219-295)."""
+
+    def test_temperature_schedule_matches_reference(self):
+        for num_iters, mean_z in [(10, 1.4), (50, 2.5), (100, 0.8)]:
+            tw = 1.0 / mean_z
+            sched = tutils.ExponentialScheduler(tw * 0.1, tw * 0.005,
+                                                num_iters)
+            ours = [float(jestimation.metropolis_temperature(
+                s, mean_z, num_iters)) for s in range(num_iters)]
+            np.testing.assert_allclose(
+                ours, [sched.get(s) for s in range(num_iters)], rtol=1e-5)
+
+    @pytest.mark.slow
+    def test_accept_decisions_on_shared_proposal_stream(self, monkeypatch):
+        """Drive the reference's ``_refine_pose`` (its real code: perturb ->
+        render -> loss -> MH accept) with a recorded threshold stream, then
+        replay the SAME proposals and thresholds through our scoring +
+        ``metropolis_accept``: proposal losses must match within component
+        tolerance and every non-borderline accept/reject decision must be
+        identical."""
+        rng = np.random.RandomState(31)
+        t_model, j_model = _model_pair()
+        t_target, j_target = _make_target_pair(rng)
+        z_obj = rng.randn(1, 1, 4, 8, 8, 8).astype(np.float32) * 0.5
+
+        n_chains, n_steps = 4, 6
+        t_cam, _ = _camera_pair(rng, n_chains)
+        weights = {"depth": 1.0, "ov_depth": 0.3}
+        t_est = testimation.MetropolisPoseEstimator(
+            model=t_model, ranking_size=2, loss_weights=weights,
+            num_samples=n_chains, num_iters=n_steps)
+        j_est = jestimation.MetropolisPoseEstimator(
+            model=j_model, ranking_size=2, loss_weights=weights,
+            num_samples=n_chains, num_iters=n_steps)
+
+        # Shared U(0,1) threshold stream: the reference draws via
+        # torch.rand_like (estimation.py:290).
+        thresholds = rng.rand(n_steps, n_chains).astype(np.float32)
+        cursor = {"step": 0}
+        monkeypatch.setattr(
+            torch, "rand_like",
+            lambda x: torch.from_numpy(thresholds[cursor["step"]]).to(x.dtype))
+
+        # Record the reference's proposals and raw per-proposal loss dicts.
+        proposals = []
+        orig_perturb = tpu_ref.perturb_camera
+
+        def recording_perturb(camera, t_std, q_std):
+            prop = orig_perturb(camera, t_std, q_std)
+            proposals.append(prop.clone())
+            return prop
+
+        monkeypatch.setattr(testimation.pu, "perturb_camera",
+                            recording_perturb)
+        ref_loss_dicts = []
+        orig_loss_func = t_est.loss_func
+
+        def recording_loss(*a, **k):
+            d = orig_loss_func(*a, **k)
+            ref_loss_dicts.append({n: v.detach().clone()
+                                   for n, v in d.items()})
+            return d
+
+        t_est.loss_func = recording_loss
+
+        mean_z = float(t_cam.translation[:, -1].mean())
+        tw = 1.0 / mean_z
+        sched = tutils.ExponentialScheduler(tw * 0.1, tw * 0.005, n_steps)
+        torch.manual_seed(123)
+        records = []
+        t_err = torch.full((n_chains,), 100.0)
+        cam = t_cam
+        for step in range(n_steps):
+            cursor["step"] = step
+            temperature = sched.get(step)
+            new_cam, new_err, num_acc = t_est._refine_pose(
+                torch.from_numpy(z_obj), cam.clone(), t_err.clone(),
+                target_obs=t_target, temperature=temperature)
+            records.append((t_err.detach().clone(),
+                            new_err.detach().clone(), temperature, num_acc))
+            cam, t_err = new_cam.detach(), new_err.detach()
+
+        assert len(proposals) == n_steps and len(ref_loss_dicts) == n_steps
+
+        z_obj_j = jnp.asarray(z_obj)
+        decisions_checked = 0
+        for step in range(n_steps):
+            prev_err_t, new_err_t, temperature, num_acc = records[step]
+            prev_err = prev_err_t.numpy()
+            t_loss = sum(testimation.weigh_losses(
+                ref_loss_dicts[step],
+                t_est.loss_weights).values()).detach().numpy()
+            t_accept = (new_err_t.numpy() != prev_err)
+            assert int(t_accept.sum()) == num_acc
+
+            j_prop = _tcam_to_jcam(proposals[step])
+            j_loss, _ = j_est._score_hypotheses(z_obj_j, j_target, j_prop)
+            j_loss = np.asarray(j_loss)
+            np.testing.assert_allclose(j_loss, t_loss, rtol=0.02, atol=2e-3,
+                                       err_msg=f"proposal loss, step {step}")
+
+            j_accept = np.asarray(jestimation.metropolis_accept(
+                jnp.asarray(prev_err), jnp.asarray(j_loss), temperature,
+                jnp.asarray(thresholds[step])))
+            with np.errstate(over="ignore"):
+                t_prob = np.minimum(
+                    np.exp((prev_err - t_loss) / temperature), 1e6)
+            # Decisions can legitimately differ only where the transition
+            # probability sits within loss-tolerance of the threshold.
+            borderline = np.abs(t_prob - thresholds[step]) < 0.03
+            np.testing.assert_array_equal(
+                j_accept[~borderline], t_accept[~borderline],
+                err_msg=f"accept decisions, step {step}")
+            decisions_checked += int((~borderline).sum())
+        assert decisions_checked >= int(0.75 * n_steps * n_chains), \
+            "too many borderline decisions to be a meaningful comparison"
+
+
+@pytest.mark.slow
+class TestCEMSeededDistributionalParity:
+    """Seeded distributional CEM-loop comparison (VERDICT r3 next #6a):
+    both frameworks consume the SAME hypothesis stream every iteration;
+    per-iteration elite SETS must overlap and the refit GMMs must agree in
+    distribution (mixture moments), with the next iteration's stream drawn
+    from the reference's own blended GMM so the comparison tracks the
+    reference's actual loop trajectory (reference: estimation.py:371-473)."""
+
+    def test_elite_sets_and_gmm_trajectories(self):
+        rng = np.random.RandomState(41)
+        t_model, j_model = _model_pair()
+        t_target, j_target = _make_target_pair(rng)
+        z_obj = rng.randn(1, 1, 4, 8, 8, 8).astype(np.float32) * 0.5
+        z_obj_j = jnp.asarray(z_obj)
+
+        n_samples, n_iters, n_elites, n_comp = 24, 4, 10, 2
+        alpha = 0.9
+        t_cams, j_cams = _camera_pair(rng, n_samples)
+        weights = {"depth": 1.0}
+        t_est = testimation.CrossEntropyPoseEstimator(
+            model=t_model, ranking_size=4, loss_weights=weights,
+            num_samples=n_samples, num_iters=n_iters, num_elites=n_elites,
+            num_gmm_components=n_comp, learning_rate=alpha,
+            sample_flipped=False)
+        j_est = jestimation.CrossEntropyPoseEstimator(
+            model=j_model, ranking_size=4, loss_weights=weights,
+            num_samples=n_samples, num_iters=n_iters, num_elites=n_elites,
+            num_gmm_components=n_comp, learning_rate=alpha,
+            sample_flipped=False)
+
+        def mixture_moments(w, mu, var):
+            mean = (w[:, None] * mu).sum(0)
+            second = (w[:, None] * (var + mu ** 2)).sum(0)
+            return mean, second - mean ** 2
+
+        def t_score(cams):
+            with torch.no_grad():
+                d, m, lat, zc = t_est._render_observation(
+                    torch.from_numpy(z_obj), cams)
+                ld = t_est.loss_func(t_target, d, m, zc, z_pred_latent=lat,
+                                     z_target_latent=None)
+                return sum(testimation.weigh_losses(
+                    ld, t_est.loss_weights).values()).numpy()
+
+        # Shared stream for iteration 0 = the shared initial camera set.
+        params = np.asarray(
+            testimation.CrossEntropyPoseEstimator._camera_to_params(
+                t_cams).numpy(), dtype=np.float64)
+        camera_init_t = t_cams[0]
+        camera_init_j = j_cams[0]
+        t_prev_gmm = None
+        j_prev_gmm = None
+        for it in range(n_iters):
+            t_hyp = t_est._params_to_camera(
+                torch.from_numpy(params.astype(np.float32)),
+                camera_init=camera_init_t)
+            j_hyp = j_est._params_to_camera(
+                jnp.asarray(params, dtype=jnp.float32), camera_init_j)
+
+            tl = t_score(t_hyp)
+            jl, _ = j_est._score_hypotheses(z_obj_j, j_target, j_hyp)
+            jl = np.asarray(jl)
+            np.testing.assert_allclose(jl, tl, rtol=0.02, atol=2e-3,
+                                       err_msg=f"hypothesis losses, iter {it}")
+
+            t_elite = set(np.argsort(tl)[:n_elites].tolist())
+            j_elite = set(np.argsort(jl)[:n_elites].tolist())
+            overlap = len(t_elite & j_elite) / n_elites
+            assert overlap >= 0.8, (it, sorted(t_elite), sorted(j_elite))
+
+            # Refit: sklearn on the elite subset (reference) vs our masked
+            # weighted EM on the full set; compare in distribution.
+            t_gmm = t_est._create_gmm(
+                torch.from_numpy(params[sorted(t_elite)]))
+            mask = np.zeros(len(params))
+            mask[sorted(j_elite)] = 1.0
+            j_gmm = gmm_lib.fit(jax.random.PRNGKey(it),
+                                jnp.asarray(params, dtype=jnp.float32),
+                                n_comp, sample_weights=jnp.asarray(mask),
+                                n_iter=50)
+            t_mean, t_var = mixture_moments(t_gmm.weights_, t_gmm.means_,
+                                            t_gmm.covariances_)
+            j_mean, j_var = mixture_moments(np.asarray(j_gmm.weights),
+                                            np.asarray(j_gmm.means),
+                                            np.asarray(j_gmm.covariances))
+            np.testing.assert_allclose(j_mean, t_mean, atol=0.02,
+                                       err_msg=f"GMM mixture mean, iter {it}")
+            np.testing.assert_allclose(np.sqrt(j_var), np.sqrt(t_var),
+                                       atol=0.02,
+                                       err_msg=f"GMM mixture std, iter {it}")
+
+            # Next shared stream: sample from the reference's blended GMM
+            # (its actual _combined_gmm + sample code), seeded.
+            if t_prev_gmm is not None:
+                sample_gmm = t_est._combined_gmm(t_prev_gmm, t_gmm, alpha)
+            else:
+                sample_gmm = t_gmm
+            sample_gmm.random_state = np.random.RandomState(100 + it)
+            params = sample_gmm.sample(n_samples)[0]
+            t_prev_gmm, j_prev_gmm = t_gmm, j_gmm  # noqa: F841
 
 
 @pytest.mark.slow
