@@ -57,6 +57,84 @@ def flagship_fuser() -> fusion.GRUFuser:
     return fusion.GRUFuser(in_channels=256, cube_size=1.0)
 
 
+# --------------------------------------------------------------- demo scale
+# The accuracy-rig architecture shared by the cube demo, the oracle/encoder
+# distillation rigs and the unseen-object rig: 128^2 input -> 8^3 x 128
+# latent (flagship family halved). The committed learned checkpoints under
+# artifacts/ (encoder_distill.npz, unseen_objects.npz) use this family.
+
+DEMO_INPUT_SIZE = 128
+DEMO_CAMERA_DIST = 5.78  # canonical zoom distance for unit-diameter objects
+
+DEMO_SCULPTOR_IMAGE_CONFIG = (
+    (32, "D", 64, "D", 96, "D", 128, "D", 256, "D", 256, "D", 256),
+    (256, "U", 256, "U", 128),
+)
+DEMO_SCULPTOR_CAMERA_CONFIG = (32, 64, 128)
+DEMO_SCULPTOR_OBJECT_CONFIG = (128, 128)
+DEMO_PHOTOGRAPHER_CAMERA_CONFIG = (128, 128)
+DEMO_PHOTOGRAPHER_IMAGE_CONFIG = (
+    (128, "D", 256, "D", 256),
+    (256, "U", 256, "U", 256, "U", 128, "U", 96, "U", 64, "U", 48),
+)
+
+
+def demo_sculptor(input_depth: bool = True) -> models.Sculptor:
+    return models.Sculptor(
+        in_size=DEMO_INPUT_SIZE,
+        image_config=DEMO_SCULPTOR_IMAGE_CONFIG,
+        camera_config=DEMO_SCULPTOR_CAMERA_CONFIG,
+        object_config=DEMO_SCULPTOR_OBJECT_CONFIG,
+        projection_type="factor", cube_size=1.0, scale_mode="nearest",
+        input_color=True, input_depth=input_depth, input_mask=True)
+
+
+def demo_fuser() -> fusion.GRUFuser:
+    return fusion.GRUFuser(in_channels=128, cube_size=1.0)
+
+
+def demo_photographer() -> models.Photographer:
+    return models.Photographer(
+        in_size=DEMO_INPUT_SIZE // 16,
+        image_config=DEMO_PHOTOGRAPHER_IMAGE_CONFIG,
+        camera_config=DEMO_PHOTOGRAPHER_CAMERA_CONFIG,
+        object_config=None, projection_type="factor",
+        predict_color=False, predict_depth=True, predict_mask=True,
+        cube_size=1.0, scale_mode="nearest")
+
+
+def load_params_npz(path, template: dict) -> dict:
+    """Load a parameter pytree saved by the distill rigs' ``save_npz``
+    (enumerated-leaf npz) against a matching random-init ``template``."""
+    import numpy as np
+
+    data = np.load(path)
+    leaves = [jnp.asarray(data[str(i)]) for i in range(len(data.files))]
+    treedef = jax.tree_util.tree_structure(template)
+    if treedef.num_leaves != len(leaves):
+        raise ValueError(
+            f"{path}: {len(leaves)} leaves, template has "
+            f"{treedef.num_leaves} — architecture mismatch")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def random_view_cameras(key, n: int, input_size: int = DEMO_INPUT_SIZE,
+                        camera_dist: float = DEMO_CAMERA_DIST) -> Camera:
+    """Random full-frame viewpoints around a unit object at the canonical
+    distance (the accuracy rigs' reference-view distribution)."""
+    k1, k2 = jax.random.split(key)
+    quats = quat.random(k1, n)
+    t_noise = jax.random.normal(k2, (n, 3)) * jnp.asarray([0.1, 0.1, 0.25])
+    trans = jnp.asarray([0.0, 0.0, camera_dist]) + t_noise
+    ext = three.to_extrinsic_matrix(trans, quats)
+    template = canonical_camera(1, input_size, camera_dist=camera_dist)
+    return Camera(
+        jnp.broadcast_to(template.intrinsic,
+                         (n, *template.intrinsic.shape[1:])), ext,
+        z_span=template.z_span, width=template.width,
+        height=template.height)
+
+
 def tiny_sculptor(input_size: int = 16) -> models.Sculptor:
     return models.Sculptor(
         in_size=input_size,

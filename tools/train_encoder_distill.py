@@ -42,21 +42,8 @@ CAMERA_DIST = 5.78
 AXES = (0.21, 0.36, 0.5)
 DIAMETER = 2 * max(AXES)
 
-# Mid-size flagship-family stack (same as the cube demo's: 6 downs / 2 ups
-# image encoder -> 8^3 x 128ch latent for 128^2 input).
-SCULPTOR_IMAGE_CONFIG = (
-    (32, "D", 64, "D", 96, "D", 128, "D", 256, "D", 256, "D", 256),
-    (256, "U", 256, "U", 128),
-)
-SCULPTOR_CAMERA_CONFIG = (32, 64, 128)
-SCULPTOR_OBJECT_CONFIG = (128, 128)
-PHOTOGRAPHER_CAMERA_CONFIG = (128, 128)
-PHOTOGRAPHER_IMAGE_CONFIG = (
-    (128, "D", 256, "D", 256),
-    (256, "U", 256, "U", 256, "U", 128, "U", 96, "U", 64, "U", 48),
-)
-LATENT_CHANNELS = 128
-LATENT_SIZE = INPUT_SIZE // 16
+# Mid-size flagship-family stack (zoo.demo_*: 6 downs / 2 ups image
+# encoder -> 8^3 x 128ch latent for 128^2 input).
 
 
 def main():
@@ -104,10 +91,9 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from latentfusion_tpu import dtypes, testing, three, zoo
-    from latentfusion_tpu.camera import Camera
+    from latentfusion_tpu import dtypes, testing, zoo
     from latentfusion_tpu.pose import estimation, metrics
-    from latentfusion_tpu.recon import fusion, models
+    from latentfusion_tpu.recon import models
     from latentfusion_tpu.recon.inference import LatentFusionModel
     from latentfusion_tpu.three import quaternion as quat
 
@@ -116,39 +102,16 @@ def main():
     snapshot_steps = sorted(int(s) for s in args.snapshot_steps.split(",")
                             if s.strip())
 
-    sculptor = models.Sculptor(
-        in_size=INPUT_SIZE,
-        image_config=SCULPTOR_IMAGE_CONFIG,
-        camera_config=SCULPTOR_CAMERA_CONFIG,
-        object_config=SCULPTOR_OBJECT_CONFIG,
-        projection_type="factor", cube_size=1.0, scale_mode="nearest",
-        input_color=True, input_depth=args.input_depth, input_mask=True)
-    fuser = fusion.GRUFuser(in_channels=LATENT_CHANNELS, cube_size=1.0)
-    photographer = models.Photographer(
-        in_size=LATENT_SIZE,
-        image_config=PHOTOGRAPHER_IMAGE_CONFIG,
-        camera_config=PHOTOGRAPHER_CAMERA_CONFIG,
-        object_config=None, projection_type="factor",
-        predict_color=False, predict_depth=True, predict_mask=True,
-        cube_size=1.0, scale_mode="nearest")
+    sculptor = zoo.demo_sculptor(input_depth=args.input_depth)
+    fuser = zoo.demo_fuser()
+    photographer = zoo.demo_photographer()
 
     oracle = testing.EllipsoidOracleModel(input_size=INPUT_SIZE,
                                           camera_dist=CAMERA_DIST, axes=AXES)
     key = jax.random.PRNGKey(0)
 
     def random_full_cameras(key, n):
-        k1, k2 = jax.random.split(key)
-        quats = quat.random(k1, n)
-        t_noise = jax.random.normal(k2, (n, 3)) * jnp.asarray(
-            [0.1, 0.1, 0.25])
-        trans = jnp.asarray([0.0, 0.0, CAMERA_DIST]) + t_noise
-        ext = three.to_extrinsic_matrix(trans, quats)
-        template = zoo.canonical_camera(1, INPUT_SIZE,
-                                        camera_dist=CAMERA_DIST)
-        return Camera(jnp.broadcast_to(
-            template.intrinsic, (n, *template.intrinsic.shape[1:])), ext,
-            z_span=template.z_span, width=template.width,
-            height=template.height)
+        return zoo.random_view_cameras(key, n, INPUT_SIZE, CAMERA_DIST)
 
     def build_latent(train_params, key):
         """The build_latent_object pipeline with gradients on."""

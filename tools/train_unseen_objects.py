@@ -38,23 +38,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parents[1]))
 
-INPUT_SIZE = 128
-CAMERA_DIST = 5.78  # canonical zoom distance for unit-diameter objects
+INPUT_SIZE = 128   # == zoo.DEMO_INPUT_SIZE (demo-scale family)
+CAMERA_DIST = 5.78  # == zoo.DEMO_CAMERA_DIST
 DIAMETER = 1.0
-
-SCULPTOR_IMAGE_CONFIG = (
-    (32, "D", 64, "D", 96, "D", 128, "D", 256, "D", 256, "D", 256),
-    (256, "U", 256, "U", 128),
-)
-SCULPTOR_CAMERA_CONFIG = (32, 64, 128)
-SCULPTOR_OBJECT_CONFIG = (128, 128)
-PHOTOGRAPHER_CAMERA_CONFIG = (128, 128)
-PHOTOGRAPHER_IMAGE_CONFIG = (
-    (128, "D", 256, "D", 256),
-    (256, "U", 256, "U", 256, "U", 128, "U", 96, "U", 64, "U", 48),
-)
-LATENT_CHANNELS = 128
-LATENT_SIZE = INPUT_SIZE // 16
 
 
 def main():
@@ -93,10 +79,9 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from latentfusion_tpu import dtypes, testing, three, zoo
-    from latentfusion_tpu.camera import Camera
+    from latentfusion_tpu import dtypes, testing, zoo
     from latentfusion_tpu.pose import estimation, metrics
-    from latentfusion_tpu.recon import fusion, models
+    from latentfusion_tpu.recon import models
     from latentfusion_tpu.recon.inference import LatentFusionModel
     from latentfusion_tpu.three import quaternion as quat
 
@@ -114,37 +99,14 @@ def main():
     heldout_pool, heldout_clouds = testing.sample_lobe_shapes(
         args.pool_seed + 7919, args.heldout_objects, diameter=DIAMETER)
 
-    sculptor = models.Sculptor(
-        in_size=INPUT_SIZE,
-        image_config=SCULPTOR_IMAGE_CONFIG,
-        camera_config=SCULPTOR_CAMERA_CONFIG,
-        object_config=SCULPTOR_OBJECT_CONFIG,
-        projection_type="factor", cube_size=1.0, scale_mode="nearest",
-        input_color=True, input_depth=True, input_mask=True)
-    fuser = fusion.GRUFuser(in_channels=LATENT_CHANNELS, cube_size=1.0)
-    photographer = models.Photographer(
-        in_size=LATENT_SIZE,
-        image_config=PHOTOGRAPHER_IMAGE_CONFIG,
-        camera_config=PHOTOGRAPHER_CAMERA_CONFIG,
-        object_config=None, projection_type="factor",
-        predict_color=False, predict_depth=True, predict_mask=True,
-        cube_size=1.0, scale_mode="nearest")
+    sculptor = zoo.demo_sculptor()
+    fuser = zoo.demo_fuser()
+    photographer = zoo.demo_photographer()
 
     key = jax.random.PRNGKey(0)
 
     def random_full_cameras(key, n):
-        k1, k2 = jax.random.split(key)
-        quats = quat.random(k1, n)
-        t_noise = jax.random.normal(k2, (n, 3)) * jnp.asarray(
-            [0.1, 0.1, 0.25])
-        trans = jnp.asarray([0.0, 0.0, CAMERA_DIST]) + t_noise
-        ext = three.to_extrinsic_matrix(trans, quats)
-        template = zoo.canonical_camera(1, INPUT_SIZE,
-                                        camera_dist=CAMERA_DIST)
-        return Camera(jnp.broadcast_to(
-            template.intrinsic, (n, *template.intrinsic.shape[1:])), ext,
-            z_span=template.z_span, width=template.width,
-            height=template.height)
+        return zoo.random_view_cameras(key, n, INPUT_SIZE, CAMERA_DIST)
 
     def oracle_observation(shape, camera):
         depth, mask, _, lobe_onehot = testing.render_lobe_shape(camera,
