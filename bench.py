@@ -200,13 +200,26 @@ def main():
                              "per loop step (bit-exact masked unroll; "
                              "estimation.set_refine_unroll)")
     parser.add_argument("--mode", default="gradient",
-                        choices=["gradient", "cem", "full", "train"],
+                        choices=["gradient", "cem", "full", "full-acc",
+                                 "train"],
                         help="gradient = adam_quick refinement (fwd+bwd); "
                              "cem = cross_entropy_quick coarse search "
                              "(128 hypothesis renders/iter); full = 16-view "
                              "reconstruction + coarse + adam_slow "
-                             "(seconds/object end-to-end); train = flagship "
+                             "(seconds/object end-to-end); full-acc = same "
+                             "pipeline on the committed LEARNED demo-scale "
+                             "checkpoint, reporting s/object AND the ADD-S "
+                             "it achieves in one record (BASELINE.json's "
+                             "actual metric); train = flagship "
                              "reconstruction training step (steps/s)")
+    parser.add_argument("--acc-checkpoint",
+                        default="artifacts/encoder_distill/"
+                                "encoder_distill.npz",
+                        help="learned demo-scale params npz for --mode "
+                             "full-acc")
+    parser.add_argument("--acc-targets", type=int, default=6,
+                        help="pose targets to estimate+gate in --mode "
+                             "full-acc")
     args = parser.parse_args()
 
     import jax
@@ -221,6 +234,9 @@ def main():
 
     if not args.fp32:
         dtypes.set_compute_dtype("bfloat16")
+
+    if args.mode == "full-acc":
+        return bench_full_at_accuracy(args)
 
     if args.volume_backend:
         from latentfusion_tpu import transforms
@@ -503,6 +519,119 @@ def main():
                                    else round(ref_hyp_per_sec, 2)),
         "vs_baseline": round(vs_baseline, 3) if vs_ok else None,
     })
+
+
+def bench_full_at_accuracy(args):
+    """BASELINE.json's actual metric — seconds/object end-to-end AT ADD(-S)
+    accuracy (VERDICT r3 next #5). Runs the config-#3 pipeline (16-view
+    latent build by the ENCODER + cross_entropy_quick coarse search +
+    adam_slow refinement; reference: inference.py:73-84, configs/
+    cross_entropy_quick.toml, configs/adam_slow.toml) on the committed
+    learned demo-scale checkpoint (artifacts/encoder_distill:
+    encoder-in-the-loop distillation) and reports warm s/object AND the
+    ADD-S gate the very same runs achieve, in one record."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from latentfusion_tpu import testing, zoo
+    from latentfusion_tpu.pose import estimation, metrics
+    from latentfusion_tpu.recon.inference import LatentFusionModel
+    from latentfusion_tpu.three import orientation
+    from latentfusion_tpu.three import quaternion as quat
+
+    input_size = zoo.DEMO_INPUT_SIZE
+    camera_dist = zoo.DEMO_CAMERA_DIST
+    axes = (0.21, 0.36, 0.5)  # the checkpoint's training object
+    diameter = 2 * max(axes)
+
+    sculptor = zoo.demo_sculptor()
+    fuser = zoo.demo_fuser()
+    photographer = zoo.demo_photographer()
+    print("# init param template + load checkpoint...", file=sys.stderr)
+    template = zoo.init_recon_params(jax.random.PRNGKey(0), sculptor, fuser,
+                                     photographer, batch=1, views=2)
+    params = zoo.load_params_npz(args.acc_checkpoint, template)
+    model = LatentFusionModel(
+        sculptor=sculptor, sculptor_params=params["sculptor"],
+        fuser=fuser, fuser_params=params["fuser"],
+        photographer=photographer,
+        photographer_params=params["photographer"],
+        camera_dist=camera_dist)
+
+    oracle = testing.EllipsoidOracleModel(input_size=input_size,
+                                          camera_dist=camera_dist, axes=axes)
+    ref_cams = zoo.random_view_cameras(jax.random.PRNGKey(7), 16)
+    print("# reference observations...", file=sys.stderr)
+    ref_obs = jax.jit(lambda c: oracle.make_observation(c, shaded=True))(
+        ref_cams)
+
+    coarse = estimation.CrossEntropyPoseEstimator(
+        model=model, num_gmm_components=6, sample_flipped=True,
+        num_samples=128, num_iters=10, num_elites=48, learning_rate=0.75,
+        loss_weights={"depth": 1.0}, ranking_size=16)
+    fine = estimation.GradientPoseEstimator(
+        model=model, ranking_size=8,
+        loss_weights={"depth": 1.0, "ov_depth": 0.3}, learning_rate=0.01,
+        num_samples=16, num_iters=150, converge_threshold=1e-6,
+        converge_patience=25, optimizer="adam")
+
+    dirs = np.asarray(orientation.evenly_distributed_points(512))
+    points = jnp.asarray(dirs * np.asarray(axes))
+
+    def run_object(gt_key, est_key):
+        gt_cam = testing.make_camera(1, z=camera_dist, f=615.0, width=640,
+                                     height=480,
+                                     quats=quat.random(gt_key, 1))
+        target = jax.jit(oracle.make_observation)(gt_cam)
+        z_obj = model.build_latent_object(ref_obs)
+        coarse_cams = coarse.estimate(z_obj, target, key=est_key)
+        best = fine.estimate(z_obj, target, camera=coarse_cams[:16])
+        jax.block_until_ready(best.translation)
+        return gt_cam, best
+
+    rows = []
+    warm_times = []
+    ek = jax.random.PRNGKey(55)
+    print("# running targets (first is cold: jit compiles)...",
+          file=sys.stderr)
+    for t in range(max(args.acc_targets, 2)):
+        ek, k1, k2 = jax.random.split(ek, 3)
+        t0 = time.time()
+        gt_cam, best = run_object(k1, k2)
+        dt = time.time() - t0
+        m = metrics.camera_metrics(gt_cam, best[0], points,
+                                   scale_to_meters=1.0)
+        add_s = float(m["add_s"])
+        row = {"target": t, "add_s": round(add_s, 5),
+               "add_s_01d": bool(add_s < 0.1 * diameter),
+               "seconds": round(dt, 3), "cold": t == 0}
+        rows.append(row)
+        if t > 0:
+            warm_times.append(dt)
+        print(f"# target {t}: {dt:.2f}s add_s={add_s:.4f} "
+              f"0.1d={row['add_s_01d']}", file=sys.stderr, flush=True)
+
+    acc = float(np.mean([r["add_s_01d"] for r in rows]))
+    warm = float(np.mean(warm_times))
+    record = {
+        "metric": "seconds_per_object_end_to_end_at_accuracy",
+        "value": round(warm, 3),
+        "unit": ("s/object warm (16-view ENCODER latent build + "
+                 "cross_entropy_quick + adam_slow, learned demo-scale "
+                 f"checkpoint) at ADD-S 0.1d = {acc:.2f} over "
+                 f"{len(rows)} targets"),
+        "vs_baseline": None,
+        "add_s_0.1d": acc,
+        "mean_add_s": round(float(np.mean([r["add_s"] for r in rows])), 5),
+    }
+    print(json.dumps(record))
+    _append_json(args.json_out, {
+        "mode": "full-acc", **record, "targets": rows,
+        "checkpoint": str(args.acc_checkpoint),
+        "cold_compile_plus_first_object_s": rows[0]["seconds"],
+        "device_kind": jax.devices()[0].device_kind,
+        "knobs": _knobs(args)})
 
 
 def bench_full_pipeline(args, model, oracle, cam0, input_size, camera_dist):

@@ -2,10 +2,14 @@
 # Run every bench.py mode back-to-back on the real chip and append the
 # per-mode accounting records to one per-round JSON artifact (VERDICT r2
 # item 1d: "commit all bench modes to a per-round JSON artifact").
-# Usage: tools/bench_sweep.sh artifacts/bench_r3.json
+# COMMIT the artifact after the sweep — tests/test_docs_artifacts.py
+# fails the suite if a README/docs-cited artifact is missing from the
+# tree (VERDICT r3 missing #4: the r3 artifact was deleted and the
+# deletion committed).
+# Usage: tools/bench_sweep.sh artifacts/bench_r4.json
 set -u
 cd "$(dirname "$0")/.."
-OUT="${1:-artifacts/bench_r3.json}"
+OUT="${1:-artifacts/bench_r4.json}"
 rm -f "$OUT"
 
 run() {
@@ -44,6 +48,7 @@ run --fp32                       # precision A/B
 run --mode cem                   # coarse search (honest render count)
 run --mode full                  # end-to-end s/object (cold+warm recorded)
 run --mode full --noisy-masks    # MOPED-conditions variant
+run --mode full-acc              # s/object AT ADD-S accuracy (learned ckpt)
 run --mode train                 # batch-1 train step
 run --mode train --batch 8 --batch-groups 2 --remat   # published batch
 # End-to-end incl. the render loader (this container has ONE host core, so
