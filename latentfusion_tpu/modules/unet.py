@@ -81,6 +81,19 @@ class BaseUNet(nn.Module):
                 for c in self.out_channels
             ]
 
+    @property
+    def final_scale(self):
+        """(scale_factor, scale_mode) of the last up-block's trailing
+        upsample, or None. Callers that apply their own 1x1 no-activation
+        heads (e.g. the Photographer) can pass ``skip_final_scale=True``,
+        run the heads at the pre-upsample resolution, and apply this
+        scale to the few-channel head output — the same exact linear
+        commute ``_defer_final_scale`` performs for in-module heads."""
+        block = self.up_blocks[-1]
+        if block.scale_factor in (None, 1.0):
+            return None
+        return (block.scale_factor, block.scale_mode)
+
     def _defer_final_scale(self, block) -> bool:
         """True when the last up-block's trailing upsample can run after
         the output heads (exact linear commute)."""
@@ -94,7 +107,8 @@ class BaseUNet(nn.Module):
         return all(h.kernel_size == 1 and h.activation is None
                    for h in heads)
 
-    def __call__(self, z, z_inject=None, return_intermediate: bool = False):
+    def __call__(self, z, z_inject=None, return_intermediate: bool = False,
+                 skip_final_scale: bool = False):
         from ..layout import channel_axis, channels_last
 
         ch = channel_axis()
@@ -124,7 +138,12 @@ class BaseUNet(nn.Module):
         for block_id, block in enumerate(self.up_blocks):
             if 1 <= block_id < len(x_intermediate):
                 z = jnp.concatenate((z, x_intermediate[block_id]), axis=ch)
-            if (block_id == len(self.up_blocks) - 1
+            if (block_id == len(self.up_blocks) - 1 and skip_final_scale
+                    and self.final_scale is not None):
+                # Caller-managed deferral: the caller applies its own 1x1
+                # heads and then self.final_scale (see Photographer).
+                z = block(z, skip_scale=True)
+            elif (block_id == len(self.up_blocks) - 1
                     and self._defer_final_scale(block)):
                 # The trailing upsample and the 1x1 no-activation output
                 # heads are both linear maps on disjoint axes (spatial vs

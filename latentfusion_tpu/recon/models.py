@@ -22,7 +22,7 @@ from ..modules import unet
 from ..modules.blocks import Block, OutputBlock, create_block_defs
 from ..modules.projection import (FactorProjection2d3d, FactorProjection3d2d,
                                   TileProjection2d3d)
-from ..ops.interpolate import resize_nearest
+from ..ops.interpolate import interpolate, resize_nearest
 from ..three.batchview import b2bv, bv2b
 from ..transforms import camera_to_object, object_to_camera
 from . import utils
@@ -418,10 +418,25 @@ class Photographer(nn.Module):
                 elif self.projection_type == "factor":
                     z = self.projection_block(z)
 
-                y = self.image_decoder(z)
+                # The output heads are 1x1 no-activation convs, so they
+                # commute exactly with the image decoder's trailing bilinear
+                # upsample (both linear, on disjoint axes). Running the heads
+                # at the pre-upsample resolution keeps the wide-channel
+                # feature map off the full-resolution boundary — the trace
+                # showed ~1.6 ms/iter of head matmuls + dgrad + relayout
+                # copies on the 64ch x 256^2 tensor in the flagship
+                # refinement loop (reference contract unchanged:
+                # models.py:398-409 applies heads after the decoder).
+                defer = (all(ob.kernel_size == 1 and ob.activation is None
+                             for ob in self.output_blocks)
+                         and self.image_decoder.final_scale is not None)
+                y = self.image_decoder(z, skip_final_scale=defer)
                 outputs = [ob(y) for ob in self.output_blocks]
                 y = jnp.concatenate(
                     outputs, axis=-1 if cl2d else 1)
+                if defer:
+                    scale, mode = self.image_decoder.final_scale
+                    y = interpolate(y, scale_factor=scale, mode=mode)
 
         if cl2d:
             y = from_channels_last(y)
