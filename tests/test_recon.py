@@ -131,6 +131,28 @@ class TestPhotographer:
         assert float(y["depth"].max()) <= 1.0 and float(y["depth"].min()) >= -1.0
         assert z_lat.shape[1] == 3
 
+    def test_head_hoist_matches_post_upsample_heads(self, rng, monkeypatch):
+        """The hoisted 1x1 output heads (run before the image decoder's
+        trailing upsample) must match the reference order (heads after the
+        upsample, models.py:398-409) — an exact linear commute, so only
+        float reassociation tolerance is allowed."""
+        from latentfusion_tpu.modules import unet as unet_mod
+
+        ph = tiny_photographer()
+        z = jnp.asarray(rng.randn(2, 4, 8, 8, 8).astype(np.float32))
+        cam = make_cameras(2, key=jax.random.PRNGKey(5))
+        params = ph.init(jax.random.PRNGKey(1), z, cam)
+        # tiny_photographer's image up-config ends "U", 4 — the last block
+        # carries the trailing upsample, so the hoist is active.
+        y_hoist, _, _ = ph.apply(params, z, cam)
+        # Disable the hoist (no trailing scale to defer) to restore the
+        # reference's head-after-upsample order on the same params.
+        monkeypatch.setattr(unet_mod.BaseUNet, "final_scale",
+                            property(lambda self: None))
+        y_ref, _, _ = ph.apply(params, z, cam)
+        np.testing.assert_allclose(np.asarray(y_hoist), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_occlusion_module(self, rng):
         ph = tiny_photographer(
             object_config=(4, 4),
