@@ -131,7 +131,8 @@ def _knobs(args):
             "refine_remat": bool(args.refine_remat),
             "refine_unroll": args.refine_unroll,
             "layout": args.layout,
-            "volume_backend": args.volume_backend}
+            "volume_backend": args.volume_backend,
+            "lrelu_pnorm_backend": args.lrelu_pnorm_backend}
 
 
 def main():
@@ -192,6 +193,10 @@ def main():
                                  "fused"],
                         help="3D warp backend A/B (transforms."
                              "set_volume_sample_backend)")
+    parser.add_argument("--lrelu-pnorm-backend", default=None,
+                        choices=["xla", "pallas", "unfused"],
+                        help="fused leaky_relu+PixelNorm backend A/B "
+                             "(modules.set_lrelu_pnorm_backend)")
     parser.add_argument("--refine-remat", action="store_true",
                         help="rematerialize the refinement decode in the "
                              "backward (estimation.set_refine_remat)")
@@ -247,6 +252,11 @@ def main():
         from latentfusion_tpu import layout
 
         layout.set_decode_layout(args.layout)
+
+    if args.lrelu_pnorm_backend:
+        from latentfusion_tpu import modules
+
+        modules.set_lrelu_pnorm_backend(args.lrelu_pnorm_backend)
 
     from latentfusion_tpu import testing, zoo
     from latentfusion_tpu.pose import estimation

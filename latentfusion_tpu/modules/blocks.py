@@ -154,15 +154,18 @@ class Block(nn.Module):
                                    padding=self.padding)
 
     def __call__(self, x, skip_scale: bool = False):
-        from . import pixel_norm
+        from . import lrelu_pixel_norm
+        from ..layout import channel_axis
 
+        # Fused lrelu+pixelnorm: one custom VJP saving (x, inv) instead of
+        # letting AD checkpoint the leaky_relu pred tensor — perf-neutral
+        # on v5e (measured, docs/ARCHITECTURE.md) but halves the residual
+        # footprint, which matters at the 512-wide coarse-search batch.
         x = self.conv1(x)
-        x = jax.nn.leaky_relu(x, self.relu_slope)
-        x = pixel_norm(x)
+        x = lrelu_pixel_norm(x, self.relu_slope, 1e-8, channel_axis())
 
         x = self.conv2(x)
-        x = jax.nn.leaky_relu(x, self.relu_slope)
-        x = pixel_norm(x)
+        x = lrelu_pixel_norm(x, self.relu_slope, 1e-8, channel_axis())
 
         if (not skip_scale and self.scale_factor != 1.0
                 and self.scale_factor is not None):

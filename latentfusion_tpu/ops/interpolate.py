@@ -20,6 +20,7 @@ import functools
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["interpolate", "resize_nearest", "Interpolate"]
@@ -63,6 +64,16 @@ def _resize_axis_nearest(x, axis: int, out_size: int):
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
+    axis = axis % x.ndim
+    if out_size % in_size == 0:
+        # Integer upsample: torch legacy nearest picks src=floor(i*in/out)
+        # = i // k, i.e. exactly a repeat -> broadcast+reshape instead of a
+        # gather (XLA handles repeats without index math or u16 masks).
+        return jnp.repeat(x, out_size // in_size, axis=axis)
+    if in_size % out_size == 0:
+        # Integer downsample: src = floor(i*k) = i*k -> strided slice.
+        k = in_size // out_size
+        return jax.lax.slice_in_dim(x, 0, in_size, stride=k, axis=axis)
     idx = jnp.asarray(_nearest_index(in_size, out_size))
     return jnp.take(x, idx, axis=axis)
 

@@ -62,6 +62,60 @@ def test_pixel_norm_matches_torch(rng):
     np.testing.assert_allclose(ours, theirs, atol=1e-6)
 
 
+def test_lrelu_pixel_norm_matches_unfused(rng):
+    """Fused lrelu+pixelnorm (residual-lean custom VJP) == AD of the
+    composition, values and grads, in both layouts."""
+    import jax
+    from latentfusion_tpu import layout
+
+    for axis, shape in [(-1, (2, 5, 7, 19)), (1, (2, 19, 5, 7))]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+
+        def ref(x, axis=axis):
+            with layout.activations_channels_last(axis == -1):
+                return (modules.pixel_norm(
+                    jax.nn.leaky_relu(x, 0.2)) * 1.7).sum()
+
+        def fused(x, axis=axis):
+            return (modules.lrelu_pixel_norm(x, 0.2, 1e-8, axis) * 1.7).sum()
+
+        v1, g1 = jax.value_and_grad(ref)(x)
+        v2, g2 = jax.value_and_grad(fused)(x)
+        np.testing.assert_allclose(v1, v2, rtol=1e-6)
+        np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)
+
+        # the 'unfused' backend escape hatch routes back to the plain
+        # composition (used for A/B; must agree too)
+        modules.set_lrelu_pnorm_backend("unfused")
+        try:
+            v3, g3 = jax.value_and_grad(fused)(x)
+        finally:
+            modules.set_lrelu_pnorm_backend("xla")
+        np.testing.assert_allclose(v1, v3, rtol=1e-6)
+        np.testing.assert_allclose(g1, g3, rtol=1e-5, atol=1e-6)
+
+
+def test_lrelu_pixel_norm_pallas_matches_jnp(rng):
+    """One-pass Pallas kernel (interpret mode here) == the jnp custom VJP,
+    values and grads, including a non-lane-multiple channel count."""
+    import jax
+    from latentfusion_tpu.ops.pallas_lrelu_pnorm import lrelu_pixel_norm_pallas
+
+    for shape in [(4, 8, 8, 128), (2, 4, 4, 4, 196)]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+
+        def ref(x):
+            return (modules._lrelu_pixel_norm_jnp(x, 0.2, 1e-8, -1) * 1.3).sum()
+
+        def pallas(x):
+            return (lrelu_pixel_norm_pallas(x, 0.2, 1e-8, True) * 1.3).sum()
+
+        v1, g1 = jax.value_and_grad(ref)(x)
+        v2, g2 = jax.value_and_grad(pallas)(x)
+        np.testing.assert_allclose(v1, v2, rtol=1e-5)
+        np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
+
+
 class TestBlockDSL:
     def test_simple_config(self):
         defs = B.create_block_defs([64, "D", 128, "D", 256], ndim=2,
