@@ -217,14 +217,21 @@ def main():
                              "it achieves in one record (BASELINE.json's "
                              "actual metric); train = flagship "
                              "reconstruction training step (steps/s)")
-    parser.add_argument("--acc-checkpoint",
-                        default="artifacts/encoder_distill/"
-                                "encoder_distill.npz",
+    parser.add_argument("--acc-checkpoint", default=None,
                         help="learned demo-scale params npz for --mode "
-                             "full-acc")
+                             "full-acc (default: the committed checkpoint "
+                             "matching --acc-object)")
     parser.add_argument("--acc-targets", type=int, default=6,
                         help="pose targets to estimate+gate in --mode "
                              "full-acc")
+    parser.add_argument("--acc-object", default="ellipsoid",
+                        choices=["ellipsoid", "heldout-lobe"],
+                        help="full-acc target object: 'ellipsoid' = the "
+                             "encoder-distill training object; "
+                             "'heldout-lobe' = a multi-lobe object from the "
+                             "unseen-objects rig's DISJOINT seed stream, "
+                             "never rendered while training that checkpoint "
+                             "(s/object at accuracy on a NOVEL object)")
     args = parser.parse_args()
 
     import jax
@@ -536,10 +543,12 @@ def bench_full_at_accuracy(args):
     accuracy (VERDICT r3 next #5). Runs the config-#3 pipeline (16-view
     latent build by the ENCODER + cross_entropy_quick coarse search +
     adam_slow refinement; reference: inference.py:73-84, configs/
-    cross_entropy_quick.toml, configs/adam_slow.toml) on the committed
-    learned demo-scale checkpoint (artifacts/encoder_distill:
-    encoder-in-the-loop distillation) and reports warm s/object AND the
-    ADD-S gate the very same runs achieve, in one record."""
+    cross_entropy_quick.toml, configs/adam_slow.toml) on a committed
+    learned demo-scale checkpoint and reports warm s/object AND the ADD-S
+    gate the very same runs achieve, in one record. --acc-object picks the
+    target: the encoder-distill ellipsoid (in-distribution) or a held-out
+    multi-lobe object the unseen-objects checkpoint NEVER saw in training
+    (speed at accuracy on a novel object — the paper's headline setting)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -552,8 +561,6 @@ def bench_full_at_accuracy(args):
 
     input_size = zoo.DEMO_INPUT_SIZE
     camera_dist = zoo.DEMO_CAMERA_DIST
-    axes = (0.21, 0.36, 0.5)  # the checkpoint's training object
-    diameter = 2 * max(axes)
 
     sculptor = zoo.demo_sculptor()
     fuser = zoo.demo_fuser()
@@ -561,7 +568,11 @@ def bench_full_at_accuracy(args):
     print("# init param template + load checkpoint...", file=sys.stderr)
     template = zoo.init_recon_params(jax.random.PRNGKey(0), sculptor, fuser,
                                      photographer, batch=1, views=2)
-    params = zoo.load_params_npz(args.acc_checkpoint, template)
+    checkpoint = args.acc_checkpoint or {
+        "ellipsoid": "artifacts/encoder_distill/encoder_distill.npz",
+        "heldout-lobe": "artifacts/unseen_objects/unseen_objects.npz",
+    }[args.acc_object]
+    params = zoo.load_params_npz(checkpoint, template)
     model = LatentFusionModel(
         sculptor=sculptor, sculptor_params=params["sculptor"],
         fuser=fuser, fuser_params=params["fuser"],
@@ -569,8 +580,25 @@ def bench_full_at_accuracy(args):
         photographer_params=params["photographer"],
         camera_dist=camera_dist)
 
-    oracle = testing.EllipsoidOracleModel(input_size=input_size,
-                                          camera_dist=camera_dist, axes=axes)
+    if args.acc_object == "heldout-lobe":
+        # Held-out object 0 of the unseen-objects rig: seed stream
+        # pool_seed(0)+7919 is disjoint from every training pool, so this
+        # checkpoint never rendered this shape (tools/
+        # train_unseen_objects.py keeps the same convention; shape i of the
+        # stream is identical regardless of how many shapes are drawn).
+        pool, clouds = testing.sample_lobe_shapes(7919, 1)
+        shape = testing.index_lobe_shape(jax.device_put(pool), 0)
+        oracle = testing.MultiLobeOracleModel(shape, input_size=input_size,
+                                              camera_dist=camera_dist)
+        points = jnp.asarray(clouds[0])
+        diameter = 1.0
+    else:
+        axes = (0.21, 0.36, 0.5)  # the checkpoint's training object
+        diameter = 2 * max(axes)
+        oracle = testing.EllipsoidOracleModel(
+            input_size=input_size, camera_dist=camera_dist, axes=axes)
+        dirs = np.asarray(orientation.evenly_distributed_points(512))
+        points = jnp.asarray(dirs * np.asarray(axes))
     ref_cams = zoo.random_view_cameras(jax.random.PRNGKey(7), 16)
     print("# reference observations...", file=sys.stderr)
     ref_obs = jax.jit(lambda c: oracle.make_observation(c, shaded=True))(
@@ -585,9 +613,6 @@ def bench_full_at_accuracy(args):
         loss_weights={"depth": 1.0, "ov_depth": 0.3}, learning_rate=0.01,
         num_samples=16, num_iters=150, converge_threshold=1e-6,
         converge_patience=25, optimizer="adam")
-
-    dirs = np.asarray(orientation.evenly_distributed_points(512))
-    points = jnp.asarray(dirs * np.asarray(axes))
 
     def run_object(gt_key, est_key):
         gt_cam = testing.make_camera(1, z=camera_dist, f=615.0, width=640,
@@ -629,8 +654,10 @@ def bench_full_at_accuracy(args):
         "value": round(warm, 3),
         "unit": ("s/object warm (16-view ENCODER latent build + "
                  "cross_entropy_quick + adam_slow, learned demo-scale "
-                 f"checkpoint) at ADD-S 0.1d = {acc:.2f} over "
-                 f"{len(rows)} targets"),
+                 "checkpoint"
+                 + (", HELD-OUT object never seen in training"
+                    if args.acc_object == "heldout-lobe" else "")
+                 + f") at ADD-S 0.1d = {acc:.2f} over {len(rows)} targets"),
         "vs_baseline": None,
         "add_s_0.1d": acc,
         "mean_add_s": round(float(np.mean([r["add_s"] for r in rows])), 5),
@@ -638,7 +665,7 @@ def bench_full_at_accuracy(args):
     print(json.dumps(record))
     _append_json(args.json_out, {
         "mode": "full-acc", **record, "targets": rows,
-        "checkpoint": str(args.acc_checkpoint),
+        "checkpoint": str(checkpoint), "object": args.acc_object,
         "cold_compile_plus_first_object_s": rows[0]["seconds"],
         "device_kind": jax.devices()[0].device_kind,
         "knobs": _knobs(args)})

@@ -30,6 +30,19 @@ def test_pool_shapes_and_diameter(pool):
         assert np.abs(pts.mean(0)).max() < 0.1
 
 
+def test_seed_stream_prefix_invariance():
+    """Shape ``i`` of a seed stream is identical no matter how many shapes
+    are drawn after it — ``bench.py --acc-object heldout-lobe`` relies on
+    this to rebuild the unseen-objects rig's held-out object 0 by drawing a
+    single shape from stream 7919 (the rig draws 2 or 4)."""
+    one, clouds_one = testing.sample_lobe_shapes(7919, 1, n_points=256)
+    four, clouds_four = testing.sample_lobe_shapes(7919, 4, n_points=256)
+    for k in one:
+        np.testing.assert_array_equal(np.asarray(one[k][0]),
+                                      np.asarray(four[k][0]))
+    np.testing.assert_array_equal(clouds_one[0], clouds_four[0])
+
+
 def test_disjoint_seed_streams_give_different_shapes(pool):
     stacked, _ = pool
     other, _ = testing.sample_lobe_shapes(7919, 4, diameter=1.0,

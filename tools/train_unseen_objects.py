@@ -67,6 +67,13 @@ def main():
     parser.add_argument("--frame-loss-weight", type=float, default=2.0)
     parser.add_argument("--snapshot-steps", default="")
     parser.add_argument("--curve-targets", type=int, default=4)
+    # Eval search budgets (defaults = the published-artifact budgets; the
+    # CPU smoke test shrinks them to keep the rig's plumbing under test).
+    parser.add_argument("--cem-samples", type=int, default=128)
+    parser.add_argument("--cem-iters", type=int, default=10)
+    parser.add_argument("--cem-elites", type=int, default=48)
+    parser.add_argument("--refine-samples", type=int, default=16)
+    parser.add_argument("--refine-iters", type=int, default=150)
     args = parser.parse_args()
 
     import numpy as np
@@ -265,13 +272,15 @@ def main():
 
         coarse = estimation.CrossEntropyPoseEstimator(
             model=model, num_gmm_components=6, sample_flipped=True,
-            num_samples=128, num_iters=10, num_elites=48,
+            num_samples=args.cem_samples, num_iters=args.cem_iters,
+            num_elites=args.cem_elites,
             learning_rate=0.75, loss_weights={"depth": 1.0},
-            ranking_size=16)
+            ranking_size=min(16, args.cem_samples))
         fine = estimation.GradientPoseEstimator(
-            model=model, ranking_size=8,
+            model=model, ranking_size=min(8, args.refine_samples),
             loss_weights={"depth": 1.0, "ov_depth": 0.3},
-            learning_rate=0.01, num_samples=16, num_iters=150,
+            learning_rate=0.01, num_samples=args.refine_samples,
+            num_iters=args.refine_iters,
             converge_threshold=1e-6, converge_patience=25, optimizer="adam")
 
         points = jnp.asarray(cloud)
@@ -286,7 +295,10 @@ def main():
                 lambda c: oracle_observation(shape, c))(gt_cam)
 
             coarse_cams = coarse.estimate(z_obj, target, key=k2)
-            best = fine.estimate(z_obj, target, camera=coarse_cams[:16])
+            best = fine.estimate(
+                z_obj, target,
+                camera=coarse_cams[:min(args.refine_samples,
+                                        len(coarse_cams))])
 
             def cam_metrics(c):
                 m = metrics.camera_metrics(gt_cam, c, points,
