@@ -74,6 +74,11 @@ def main():
     parser.add_argument("--cem-elites", type=int, default=48)
     parser.add_argument("--refine-samples", type=int, default=16)
     parser.add_argument("--refine-iters", type=int, default=150)
+    parser.add_argument("--eval-out", type=Path, default=None,
+                        help="directory for pose_eval.json/"
+                             "scaling_curve.json (default: --out; lets a "
+                             "--skip-train re-eval at another search "
+                             "budget keep the original artifact)")
     args = parser.parse_args()
 
     import numpy as np
@@ -94,6 +99,8 @@ def main():
 
     dtypes.set_compute_dtype("bfloat16")
     args.out.mkdir(parents=True, exist_ok=True)
+    eval_out = args.eval_out or args.out
+    eval_out.mkdir(parents=True, exist_ok=True)
     snapshot_steps = sorted(int(s) for s in args.snapshot_steps.split(",")
                             if s.strip())
 
@@ -366,7 +373,7 @@ def main():
                 [t["refined"]["rotation_dist"] for t in held])),
             "train_add_s_0.1d": res["train_control"][0]["add_s_0.1d"],
             "detail": res})
-        (args.out / "scaling_curve.json").write_text(
+        (eval_out / "scaling_curve.json").write_text(
             json.dumps(curve, indent=2))
 
     summary = {
@@ -386,12 +393,17 @@ def main():
         },
         "history": history[-5:],
         "eval_views": args.eval_views,
+        "search_budget": {
+            "cem_samples": args.cem_samples, "cem_iters": args.cem_iters,
+            "cem_elites": args.cem_elites,
+            "refine_samples": args.refine_samples,
+            "refine_iters": args.refine_iters},
         "trained_with": "multi-object encoder-in-the-loop distillation "
                         "(one random pool object per step; latent from "
                         "Sculptor.encode + GRUFuser via "
                         "build_latent_object)",
     }
-    (args.out / "pose_eval.json").write_text(json.dumps(summary, indent=2))
+    (eval_out / "pose_eval.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps({"heldout_add_s_0.1d": heldout_acc,
                       "train_add_s_0.1d":
                           res["train_control"][0]["add_s_0.1d"]}))
