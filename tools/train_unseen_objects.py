@@ -74,6 +74,19 @@ def main():
     parser.add_argument("--cem-elites", type=int, default=48)
     parser.add_argument("--refine-samples", type=int, default=16)
     parser.add_argument("--refine-iters", type=int, default=150)
+    # Extra ranking terms for the eval-time objective. Depth alone cannot
+    # disambiguate near-flip basins on weakly textured geometry; the
+    # reference's own answer is the latent loss (encode the target view at
+    # the proposal camera, cosine distance in latent space — reference
+    # configs/pose/adam_latent.toml: depth 1.0 + latent 0.2) and the
+    # silhouette terms of default_pose_loss (estimation.py:70-118).
+    parser.add_argument("--rank-latent-weight", type=float, default=0.0,
+                        help="latent cosine-distance weight added to BOTH "
+                             "estimators' loss (reference adam_latent: 0.2)")
+    parser.add_argument("--rank-mask-weight", type=float, default=0.0,
+                        help="mask BCE weight added to both estimators")
+    parser.add_argument("--rank-iou-weight", type=float, default=0.0,
+                        help="IoU loss weight added to both estimators")
     parser.add_argument("--eval-out", type=Path, default=None,
                         help="directory for pose_eval.json/"
                              "scaling_curve.json (default: --out; lets a "
@@ -277,15 +290,20 @@ def main():
         ref_obs = jax.jit(lambda c: oracle_observation(shape, c))(ref_cams)
         z_obj = model.build_latent_object(ref_obs)
 
+        extra_weights = {
+            k: w for k, w in (("latent", args.rank_latent_weight),
+                              ("mask", args.rank_mask_weight),
+                              ("iou", args.rank_iou_weight)) if w > 0.0}
         coarse = estimation.CrossEntropyPoseEstimator(
             model=model, num_gmm_components=6, sample_flipped=True,
             num_samples=args.cem_samples, num_iters=args.cem_iters,
             num_elites=args.cem_elites,
-            learning_rate=0.75, loss_weights={"depth": 1.0},
+            learning_rate=0.75,
+            loss_weights={"depth": 1.0, **extra_weights},
             ranking_size=min(16, args.cem_samples))
         fine = estimation.GradientPoseEstimator(
             model=model, ranking_size=min(8, args.refine_samples),
-            loss_weights={"depth": 1.0, "ov_depth": 0.3},
+            loss_weights={"depth": 1.0, "ov_depth": 0.3, **extra_weights},
             learning_rate=0.01, num_samples=args.refine_samples,
             num_iters=args.refine_iters,
             converge_threshold=1e-6, converge_patience=25, optimizer="adam")
@@ -397,7 +415,10 @@ def main():
             "cem_samples": args.cem_samples, "cem_iters": args.cem_iters,
             "cem_elites": args.cem_elites,
             "refine_samples": args.refine_samples,
-            "refine_iters": args.refine_iters},
+            "refine_iters": args.refine_iters,
+            "rank_latent_weight": args.rank_latent_weight,
+            "rank_mask_weight": args.rank_mask_weight,
+            "rank_iou_weight": args.rank_iou_weight},
         "trained_with": "multi-object encoder-in-the-loop distillation "
                         "(one random pool object per step; latent from "
                         "Sculptor.encode + GRUFuser via "
