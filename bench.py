@@ -231,7 +231,20 @@ def main():
                              "'heldout-lobe' = a multi-lobe object from the "
                              "unseen-objects rig's DISJOINT seed stream, "
                              "never rendered while training that checkpoint "
-                             "(s/object at accuracy on a NOVEL object)")
+                             "(s/object at accuracy on a NOVEL object). The "
+                             "held-out seed is read from the checkpoint's "
+                             "sibling pose_eval.json split block when "
+                             "present (else pool_seed=0 is assumed, i.e. "
+                             "held-out stream 7919 — the committed "
+                             "checkpoints' convention)")
+    parser.add_argument("--rank-latent-weight", type=float, default=0.0,
+                        help="full-acc: latent cosine-distance weight added "
+                             "to both estimators' loss (the reference's "
+                             "flip-basin disambiguator, adam_latent: 0.2)")
+    parser.add_argument("--rank-mask-weight", type=float, default=0.0,
+                        help="full-acc: mask BCE ranking weight")
+    parser.add_argument("--rank-iou-weight", type=float, default=0.0,
+                        help="full-acc: IoU ranking weight")
     args = parser.parse_args()
 
     import jax
@@ -581,12 +594,25 @@ def bench_full_at_accuracy(args):
         camera_dist=camera_dist)
 
     if args.acc_object == "heldout-lobe":
-        # Held-out object 0 of the unseen-objects rig: seed stream
-        # pool_seed(0)+7919 is disjoint from every training pool, so this
-        # checkpoint never rendered this shape (tools/
-        # train_unseen_objects.py keeps the same convention; shape i of the
-        # stream is identical regardless of how many shapes are drawn).
-        pool, clouds = testing.sample_lobe_shapes(7919, 1)
+        # Held-out object 0 of the unseen-objects rig. The rig derives the
+        # held-out stream as pool_seed + 7919 (tools/train_unseen_objects.py);
+        # shape i of a stream is identical regardless of how many shapes are
+        # drawn. To keep the "never seen in training" guarantee for
+        # non-default checkpoints, read the recorded split from the
+        # checkpoint's sibling pose_eval.json when it exists (ADVICE r4 #2).
+        heldout_seed = 7919  # == pool_seed 0 + 7919, committed convention
+        split_file = Path(checkpoint).parent / "pose_eval.json"
+        if split_file.exists():
+            try:
+                split = json.loads(split_file.read_text()).get("split", {})
+                heldout_seed = int(split.get(
+                    "heldout_pool_seed",
+                    split.get("train_pool_seed", 0) + 7919))
+            except (ValueError, KeyError, TypeError) as exc:
+                print(f"# split read failed ({exc!r}); assuming "
+                      f"pool_seed=0", file=sys.stderr)
+        print(f"# held-out seed stream: {heldout_seed}", file=sys.stderr)
+        pool, clouds = testing.sample_lobe_shapes(heldout_seed, 1)
         shape = testing.index_lobe_shape(jax.device_put(pool), 0)
         oracle = testing.MultiLobeOracleModel(shape, input_size=input_size,
                                               camera_dist=camera_dist)
@@ -604,13 +630,18 @@ def bench_full_at_accuracy(args):
     ref_obs = jax.jit(lambda c: oracle.make_observation(c, shaded=True))(
         ref_cams)
 
+    extra_weights = {
+        k: w for k, w in (("latent", args.rank_latent_weight),
+                          ("mask", args.rank_mask_weight),
+                          ("iou", args.rank_iou_weight)) if w > 0.0}
     coarse = estimation.CrossEntropyPoseEstimator(
         model=model, num_gmm_components=6, sample_flipped=True,
         num_samples=128, num_iters=10, num_elites=48, learning_rate=0.75,
-        loss_weights={"depth": 1.0}, ranking_size=16)
+        loss_weights={"depth": 1.0, **extra_weights}, ranking_size=16)
     fine = estimation.GradientPoseEstimator(
         model=model, ranking_size=8,
-        loss_weights={"depth": 1.0, "ov_depth": 0.3}, learning_rate=0.01,
+        loss_weights={"depth": 1.0, "ov_depth": 0.3, **extra_weights},
+        learning_rate=0.01,
         num_samples=16, num_iters=150, converge_threshold=1e-6,
         converge_patience=25, optimizer="adam")
 
@@ -657,6 +688,8 @@ def bench_full_at_accuracy(args):
                  "checkpoint"
                  + (", HELD-OUT object never seen in training"
                     if args.acc_object == "heldout-lobe" else "")
+                 + (", latent ranking " + str(args.rank_latent_weight)
+                    if args.rank_latent_weight > 0.0 else "")
                  + f") at ADD-S 0.1d = {acc:.2f} over {len(rows)} targets"),
         "vs_baseline": None,
         "add_s_0.1d": acc,
@@ -666,6 +699,7 @@ def bench_full_at_accuracy(args):
     _append_json(args.json_out, {
         "mode": "full-acc", **record, "targets": rows,
         "checkpoint": str(checkpoint), "object": args.acc_object,
+        "rank_weights": extra_weights,
         "cold_compile_plus_first_object_s": rows[0]["seconds"],
         "device_kind": jax.devices()[0].device_kind,
         "knobs": _knobs(args)})

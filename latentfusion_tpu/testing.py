@@ -392,6 +392,96 @@ def index_lobe_shape(pool: dict, k) -> dict:
     return {name: arr[k] for name, arr in pool.items()}
 
 
+def _uv_sphere(lat: int, lon: int):
+    """Unit UV-sphere (host numpy): vertices (V,3), faces (F,3), uvs (V,2).
+
+    A (lat+1) x (lon+1) grid with a duplicated seam column so texture UVs
+    are per-vertex (the layout meshutils.load_obj / the rasterizer use)."""
+    import numpy as np
+
+    th = np.linspace(0.0, np.pi, lat + 1)          # polar
+    ph = np.linspace(0.0, 2 * np.pi, lon + 1)      # azimuth (seam dup)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    verts = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
+                      np.cos(T)], axis=-1).reshape(-1, 3)
+    uvs = np.stack([P / (2 * np.pi), 1.0 - T / np.pi],
+                   axis=-1).reshape(-1, 2)
+
+    idx = np.arange((lat + 1) * (lon + 1)).reshape(lat + 1, lon + 1)
+    a = idx[:-1, :-1].ravel()
+    b = idx[1:, :-1].ravel()
+    c = idx[1:, 1:].ravel()
+    d = idx[:-1, 1:].ravel()
+    # Outward winding (CCW seen from outside).
+    faces = np.concatenate([np.stack([a, b, c], -1),
+                            np.stack([a, c, d], -1)], axis=0)
+    # Drop degenerate pole triangles (zero area; harmless but wasteful).
+    tri = verts[faces]
+    area = np.linalg.norm(np.cross(tri[:, 1] - tri[:, 0],
+                                   tri[:, 2] - tri[:, 0]), axis=1)
+    return verts, faces[area > 1e-12], uvs
+
+
+def lobe_shape_meshes(pool: dict, out_dir, lat: int = 32, lon: int = 64):
+    """Triangulate every shape of a stacked lobe pool into textured OBJ
+    meshes for the REAL data path (native rasterizer + synthetic stream).
+
+    Each lobe becomes a transformed UV-sphere (vertex = center +
+    (dir * axes) @ R — exactly ``sample_lobe_shapes``' surface
+    parameterization, so the mesh matches the analytic oracle's geometry up
+    to tessellation). Z-buffer rendering of the concatenated closed lobes
+    produces the union's visible surface exactly: along any ray, the first
+    boundary hit of ANY member solid is the union boundary (interior
+    surfaces are never the nearest hit). Buried/inactive lobes never
+    render. Per-lobe UV columns give the texture path full coverage.
+
+    Reference analog: ShapeNet meshes feeding the synthetic stream
+    (reference datasets/training/pyrender.py:302-342); here the pool itself
+    is procedural so the unseen-object split stays exactly reproducible.
+
+    Returns the list of written OBJ paths (one per shape).
+    """
+    import numpy as np
+    from pathlib import Path
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sph_v, sph_f, sph_uv = _uv_sphere(lat, lon)
+    centers = np.asarray(pool["centers"])  # (K, L, 3)
+    axes = np.asarray(pool["axes"])
+    rots = np.asarray(pool["rots"])
+    n_shapes, n_lobes = centers.shape[:2]
+
+    paths = []
+    for k in range(n_shapes):
+        path = out_dir / f"lobes_{k:04d}.obj"
+        with open(path, "w") as f:
+            f.write(f"# multi-lobe shape {k} ({n_lobes} lobes)\n")
+            offset = 0
+            for li in range(n_lobes):
+                # Inactive lobes are exact duplicates of lobe 0 shrunk
+                # inside it (sample_lobe_shapes) — skip the redundant
+                # triangles when that signature matches.
+                if li > 0 and (np.allclose(centers[k, li], centers[k, 0])
+                               and np.allclose(axes[k, li],
+                                               axes[k, 0] * 0.5)):
+                    continue
+                v = centers[k, li] + (sph_v * axes[k, li]) @ rots[k, li]
+                # Per-lobe horizontal UV strip so lobes map to distinct
+                # texture regions.
+                uv = sph_uv * np.asarray([1.0 / n_lobes, 1.0])
+                uv[:, 0] += li / n_lobes
+                for vv, tt in zip(v, uv):
+                    f.write(f"v {vv[0]:.6f} {vv[1]:.6f} {vv[2]:.6f}\n")
+                    f.write(f"vt {tt[0]:.6f} {tt[1]:.6f}\n")
+                for tri in sph_f + offset + 1:
+                    f.write(f"f {tri[0]}/{tri[0]} {tri[1]}/{tri[1]} "
+                            f"{tri[2]}/{tri[2]}\n")
+                offset += len(v)
+        paths.append(path)
+    return paths
+
+
 class MultiLobeOracleModel:
     """``EllipsoidOracleModel`` generalized to a multi-lobe shape: stands in
     for ``LatentFusionModel`` in estimator evals on procedural objects."""

@@ -49,6 +49,12 @@ run --mode cem                   # coarse search (honest render count)
 run --mode full                  # end-to-end s/object (cold+warm recorded)
 run --mode full --noisy-masks    # MOPED-conditions variant
 run --mode full-acc              # s/object AT ADD-S accuracy (learned ckpt)
+# s/object at accuracy on a NOVEL object, with the reference's latent-loss
+# flip disambiguator in the ranking objective (pool-128 checkpoint — the
+# README's headline unseen-object row):
+run --mode full-acc --acc-object heldout-lobe --rank-latent-weight 0.2 \
+    --acc-checkpoint artifacts/unseen_objects_pool128/unseen_objects.npz \
+    --acc-targets 12
 run --mode train                 # batch-1 train step
 run --mode train --batch 8 --batch-groups 2 --remat   # published batch
 # End-to-end incl. the render loader (this container has ONE host core, so

@@ -43,7 +43,7 @@ CAMERA_DIST = 5.78  # == zoo.DEMO_CAMERA_DIST
 DIAMETER = 1.0
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=40000)
     parser.add_argument("--train-objects", type=int, default=10)
@@ -68,7 +68,8 @@ def main():
     parser.add_argument("--snapshot-steps", default="")
     parser.add_argument("--curve-targets", type=int, default=4)
     # Eval search budgets (defaults = the published-artifact budgets; the
-    # CPU smoke test shrinks them to keep the rig's plumbing under test).
+    # CPU smoke test, tests/test_unseen_objects_smoke.py, shrinks them with
+    # --tiny to keep the rig's plumbing under test).
     parser.add_argument("--cem-samples", type=int, default=128)
     parser.add_argument("--cem-iters", type=int, default=10)
     parser.add_argument("--cem-elites", type=int, default=48)
@@ -92,7 +93,11 @@ def main():
                              "scaling_curve.json (default: --out; lets a "
                              "--skip-train re-eval at another search "
                              "budget keep the original artifact)")
-    args = parser.parse_args()
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny model family at 16^2 input (CI smoke "
+                             "test of the rig's plumbing; not an accuracy "
+                             "configuration)")
+    args = parser.parse_args(argv)
 
     import numpy as np
 
@@ -126,14 +131,21 @@ def main():
     heldout_pool, heldout_clouds = testing.sample_lobe_shapes(
         args.pool_seed + 7919, args.heldout_objects, diameter=DIAMETER)
 
-    sculptor = zoo.demo_sculptor()
-    fuser = zoo.demo_fuser()
-    photographer = zoo.demo_photographer()
+    if args.tiny:
+        input_size = 16
+        sculptor = zoo.tiny_sculptor()
+        fuser = zoo.tiny_fuser()
+        photographer = zoo.tiny_photographer()
+    else:
+        input_size = INPUT_SIZE
+        sculptor = zoo.demo_sculptor()
+        fuser = zoo.demo_fuser()
+        photographer = zoo.demo_photographer()
 
     key = jax.random.PRNGKey(0)
 
     def random_full_cameras(key, n):
-        return zoo.random_view_cameras(key, n, INPUT_SIZE, CAMERA_DIST)
+        return zoo.random_view_cameras(key, n, input_size, CAMERA_DIST)
 
     def oracle_observation(shape, camera):
         depth, mask, _, lobe_onehot = testing.render_lobe_shape(camera,
@@ -146,7 +158,7 @@ def main():
     def build_latent(train_params, shape, key):
         cam_in = random_full_cameras(key, args.views_in)
         obs = jax.lax.stop_gradient(oracle_observation(shape, cam_in))
-        obs = obs.zoom(CAMERA_DIST, INPUT_SIZE).prepare().normalize()
+        obs = obs.zoom(CAMERA_DIST, input_size).prepare().normalize()
         z_obj, _ = models.encode(
             sculptor, train_params["sculptor"], fuser, train_params["fuser"],
             obs.camera, obs.color[None], obs.depth[None], obs.mask[None])
@@ -159,9 +171,9 @@ def main():
         z_obj = build_latent(train_params, shape, k_in)
 
         cam_full = random_full_cameras(k_out, args.views_out)
-        cam = cam_full.zoom(None, INPUT_SIZE, CAMERA_DIST)
+        cam = cam_full.zoom(None, input_size, CAMERA_DIST)
         o_depth_m, o_mask, _, _ = testing.render_lobe_shape(
-            cam, shape, INPUT_SIZE)
+            cam, shape, input_size)
         o_depth = jnp.where(o_mask > 0.5, cam.normalize_depth(o_depth_m),
                             -1.0)
 
