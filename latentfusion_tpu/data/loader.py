@@ -108,7 +108,8 @@ class IterableLoader:
 
     def __init__(self, dataset, batch_size: int, num_workers: int = 0,
                  prefetch: int = 4, device_put: bool = True,
-                 sharding=None, transport: str | None = None):
+                 sharding=None, transport: str | None = None,
+                 decode: bool = True):
         if transport not in (None, "quantized"):
             raise ValueError(f"unknown transport {transport!r}")
         self.dataset = dataset
@@ -118,6 +119,10 @@ class IterableLoader:
         self.device_put = device_put
         self.sharding = sharding
         self.transport = transport
+        # decode=False (host consumers only): yield batches still in the
+        # quantized transport encoding — replay buffers hold 1/4 the bytes
+        # and defer decode_transport to their own device feed.
+        self.decode = decode
         self._procs = []
         self._queue = None
         self._stop = None
@@ -175,7 +180,7 @@ class IterableLoader:
                 batch = jax.device_put(batch, self.sharding)
                 if self.transport == "quantized":
                     batch = decode_transport(batch)
-            elif self.transport == "quantized":
+            elif self.transport == "quantized" and self.decode:
                 # Host-only consumers: widen in numpy, keep off the device.
                 batch = jax.tree_util.tree_map(
                     lambda x: (x.astype(np.float32) / 255.0

@@ -80,6 +80,95 @@ def make_procedural_blobs(out_dir, n_objs: int = 4, n_verts: int = 2000):
     return paths
 
 
+def _multi_octave_noise(rng, h, w, channels=3, octaves=(4, 8, 16, 32)):
+    """Band-limited value noise: random low-res fields bilinearly upsampled
+    and summed — the texture statistics that matter for augmentation
+    (broadband color variation at several scales)."""
+    from scipy.ndimage import zoom as ndzoom
+
+    img = np.zeros((h, w, channels), np.float32)
+    amp = 1.0
+    for cells in octaves:
+        low = rng.rand(cells, cells, channels).astype(np.float32)
+        img += amp * ndzoom(low, (h / cells, w / cells, 1), order=1)[:h, :w]
+        amp *= 0.55
+    img -= img.min()
+    img /= max(img.max(), 1e-6)
+    return img
+
+
+def make_procedural_textures(out_dir, n: int = 48, size: int = 256,
+                             seed: int = 0):
+    """Write ``n`` procedural texture JPGs and return the directory.
+
+    Stands in for the reference's COCO texture bank
+    (reference: pyrender.py:232-250) in the zero-egress environment: a mix
+    of multi-octave noise, stripes, and checker fields with random palettes
+    — broadband appearance diversity for the random-materials path."""
+    import imageio.v2 as imageio
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        rng = np.random.RandomState(seed * 100003 + i)
+        kind = i % 3
+        if kind == 0:
+            img = _multi_octave_noise(rng, size, size)
+        elif kind == 1:
+            period = rng.randint(8, 64)
+            angle = rng.rand() * np.pi
+            yy, xx = np.mgrid[0:size, 0:size]
+            phase = xx * np.cos(angle) + yy * np.sin(angle)
+            a, b = rng.rand(3), rng.rand(3)
+            w = (0.5 + 0.5 * np.sin(2 * np.pi * phase / period))[..., None]
+            img = (a * w + b * (1 - w)).astype(np.float32)
+        else:
+            cells = rng.randint(4, 16)
+            yy, xx = np.mgrid[0:size, 0:size]
+            chk = (((xx * cells // size) + (yy * cells // size)) % 2)
+            a, b = rng.rand(3), rng.rand(3)
+            img = (a * chk[..., None] + b * (1 - chk[..., None]))
+            img = img.astype(np.float32)
+            img += 0.15 * _multi_octave_noise(rng, size, size)
+        img = np.clip(img, 0, 1)
+        imageio.imwrite(out_dir / f"tex_{i:03d}.jpg",
+                        (img * 255).astype(np.uint8))
+    return out_dir
+
+
+def make_procedural_backgrounds(out_dir, n_color: int = 24,
+                                n_depth: int = 12, width: int = 640,
+                                height: int = 480, seed: int = 1):
+    """Write procedural color JPG + depth PNG backgrounds and return the
+    directory (serves as both color_background_dir and
+    depth_background_dir). Stands in for the reference's COCO color / depth
+    PNG background banks (reference: pyrender.py:207-230, 383-412)."""
+    import imageio.v2 as imageio
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for i in range(n_color):
+        rng = np.random.RandomState(seed * 7919 + i)
+        img = _multi_octave_noise(rng, height, width)
+        if i % 2:  # add hard structure: random rectangles
+            for _ in range(rng.randint(3, 10)):
+                x0, y0 = rng.randint(0, width - 8), rng.randint(0, height - 8)
+                x1 = min(width, x0 + rng.randint(8, width // 2))
+                y1 = min(height, y0 + rng.randint(8, height // 2))
+                img[y0:y1, x0:x1] = 0.7 * img[y0:y1, x0:x1] + 0.3 * rng.rand(3)
+        imageio.imwrite(out_dir / f"bg_{i:03d}.jpg",
+                        (np.clip(img, 0, 1) * 255).astype(np.uint8))
+    for i in range(n_depth):
+        rng = np.random.RandomState(seed * 104729 + i)
+        d = _multi_octave_noise(rng, height, width, channels=1)[..., 0]
+        # Planar ramp + structure, in millimeters (load_random_depth /1000).
+        yy = np.linspace(0, 1, height)[:, None]
+        d = 800.0 + 2500.0 * (0.6 * d + 0.4 * yy)
+        imageio.imwrite(out_dir / f"depth_{i:03d}.png",
+                        d.astype(np.uint16))
+    return out_dir
+
+
 def index_paths(dataset_dir: Path, ext: str, index_name: str = "paths.txt"):
     """(reference: pyrender.py:56-62)"""
     dataset_dir = Path(dataset_dir)

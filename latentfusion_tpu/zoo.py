@@ -135,6 +135,41 @@ def random_view_cameras(key, n: int, input_size: int = DEMO_INPUT_SIZE,
         height=template.height)
 
 
+# ---------------------------------------------------------------- mid scale
+# The model-scale probe between the 16.9M demo family and the full
+# flagship training run: the FLAGSHIP channel widths (64-512, 256ch x 8^3
+# latent) at the demo rigs' 128^2 input resolution — ~4x the demo family's
+# parameters with everything else held fixed. Used by the unseen-object
+# rigs' --family mid to test whether the held-out gate rate is limited by
+# model scale (VERDICT r4 next #4).
+
+MID_INPUT_SIZE = 128
+
+
+def mid_sculptor(input_depth: bool = True) -> models.Sculptor:
+    return models.Sculptor(
+        in_size=MID_INPUT_SIZE,
+        image_config=SCULPTOR_IMAGE_CONFIG,
+        camera_config=SCULPTOR_CAMERA_CONFIG,
+        object_config=SCULPTOR_OBJECT_CONFIG,
+        projection_type="factor", cube_size=1.0, scale_mode="nearest",
+        input_color=True, input_depth=input_depth, input_mask=True)
+
+
+def mid_fuser() -> fusion.GRUFuser:
+    return fusion.GRUFuser(in_channels=256, cube_size=1.0)
+
+
+def mid_photographer() -> models.Photographer:
+    return models.Photographer(
+        in_size=MID_INPUT_SIZE // 16,
+        image_config=PHOTOGRAPHER_IMAGE_CONFIG,
+        camera_config=PHOTOGRAPHER_CAMERA_CONFIG,
+        object_config=None, projection_type="factor",
+        predict_color=False, predict_depth=True, predict_mask=True,
+        cube_size=1.0, scale_mode="nearest")
+
+
 def tiny_sculptor(input_size: int = 16) -> models.Sculptor:
     return models.Sculptor(
         in_size=input_size,

@@ -122,3 +122,70 @@ def test_pose_gradients_flow(pool):
     g = jax.jit(jax.grad(loss))(cam.log_quaternion)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_lobe_mesh_matches_analytic_render(pool, tmp_path):
+    """The triangulated lobe meshes (testing.lobe_shape_meshes — the REAL
+    data path's geometry) must agree with the analytic ray tracer: z-buffer
+    rendering of the concatenated closed lobes is the union's visible
+    surface."""
+    from latentfusion_tpu.data import rendering
+
+    stacked, clouds = pool
+    paths = testing.lobe_shape_meshes(stacked, tmp_path)
+    assert len(paths) == 4
+
+    intrinsic = np.array([[615.0, 0, 320], [0, 615.0, 240], [0, 0, 1]],
+                         np.float32)
+    r = rendering.Renderer(width=640, height=480)
+    cam = testing.make_camera(1, z=5.78, f=615.0, width=640, height=480,
+                              quats=quat.random(jax.random.PRNGKey(3), 1))
+    for k in (0, 2):
+        obj, _ = rendering.load_object(paths[k], recenter=False,
+                                       resize=False)
+        ctx = rendering.SceneContext(obj, intrinsic)
+        ext = np.asarray(cam.extrinsic)[0]
+        q = np.asarray(quat.mat_to_quat(jnp.asarray(ext[:3, :3])))
+        ctx.set_pose(ext[:3, 3], q)
+        _, depth, mask = r.render(ctx)
+
+        shape = testing.index_lobe_shape(stacked, k)
+        d_o, m_o, _, _ = testing.render_lobe_shape(cam, shape)
+        d_o = np.asarray(d_o[0, 0])
+        m_o = np.asarray(m_o[0, 0])
+
+        inter = ((mask > 0.5) & (m_o > 0.5)).sum()
+        union = ((mask > 0.5) | (m_o > 0.5)).sum()
+        assert inter / union > 0.95, (k, inter / union)
+        both = (mask > 0.5) & (m_o > 0.5)
+        err = np.abs(depth - d_o)[both]
+        assert err.mean() < 0.02, (k, err.mean())
+
+
+def test_procedural_assets_roundtrip(tmp_path):
+    """Texture/background generators write images the synthetic stream's
+    loaders accept (COCO stand-ins for the zero-egress environment)."""
+    import imageio.v2 as imageio
+
+    from latentfusion_tpu.data import synthetic
+
+    tex_dir = synthetic.make_procedural_textures(tmp_path / "tex", n=3,
+                                                 size=64)
+    bg_dir = synthetic.make_procedural_backgrounds(
+        tmp_path / "bg", n_color=2, n_depth=2, width=64, height=48)
+    texs = sorted(tex_dir.glob("*.jpg"))
+    assert len(texs) == 3
+    img = imageio.imread(texs[0])
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+
+    ds = synthetic.SyntheticDataset(
+        [], num_input_views=1, num_output_views=1, width=64, height=48,
+        use_textures=True, textures_dir=tex_dir,
+        color_random_background=True, color_background_dir=bg_dir,
+        depth_random_background=True, depth_background_dir=bg_dir)
+    assert len(ds.texture_paths) == 3
+    assert len(ds.color_background_paths) == 2
+    assert len(ds.depth_background_paths) == 2
+    assert ds.load_random_image(ds.color_background_paths).shape[2] == 3
+    d = ds.load_random_depth(ds.depth_background_paths)
+    assert d.ndim == 2 and d.max() > 0

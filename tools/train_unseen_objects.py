@@ -37,6 +37,7 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parents[1]))
+sys.path.insert(0, str(Path(__file__).parent))
 
 INPUT_SIZE = 128   # == zoo.DEMO_INPUT_SIZE (demo-scale family)
 CAMERA_DIST = 5.78  # == zoo.DEMO_CAMERA_DIST
@@ -93,24 +94,34 @@ def main(argv=None):
                              "scaling_curve.json (default: --out; lets a "
                              "--skip-train re-eval at another search "
                              "budget keep the original artifact)")
+    parser.add_argument("--family", choices=["demo", "mid", "tiny"],
+                        default="demo",
+                        help="model family: demo = the 16.9M 128^2 family "
+                             "of the committed checkpoints; mid = flagship "
+                             "channel widths at 128^2 (~4x params — the "
+                             "model-scale probe); tiny = 16^2 CI smoke")
     parser.add_argument("--tiny", action="store_true",
-                        help="tiny model family at 16^2 input (CI smoke "
-                             "test of the rig's plumbing; not an accuracy "
-                             "configuration)")
+                        help="alias for --family tiny")
     args = parser.parse_args(argv)
+    if args.tiny:
+        args.family = "tiny"
 
     import numpy as np
 
     import jax
 
     if args.cpu:
+        # No persistent compile cache on CPU: sandbox hosts differ in CPU
+        # features and stale AOT entries spam feature-mismatch errors.
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_bench_cache")
     import jax.numpy as jnp
     import optax
 
     from latentfusion_tpu import dtypes, testing, zoo
-    from latentfusion_tpu.pose import estimation, metrics
+    from latentfusion_tpu.pose import estimation
     from latentfusion_tpu.recon import models
     from latentfusion_tpu.recon.inference import LatentFusionModel
     from latentfusion_tpu.three import quaternion as quat
@@ -131,11 +142,16 @@ def main(argv=None):
     heldout_pool, heldout_clouds = testing.sample_lobe_shapes(
         args.pool_seed + 7919, args.heldout_objects, diameter=DIAMETER)
 
-    if args.tiny:
+    if args.family == "tiny":
         input_size = 16
         sculptor = zoo.tiny_sculptor()
         fuser = zoo.tiny_fuser()
         photographer = zoo.tiny_photographer()
+    elif args.family == "mid":
+        input_size = zoo.MID_INPUT_SIZE
+        sculptor = zoo.mid_sculptor()
+        fuser = zoo.mid_fuser()
+        photographer = zoo.mid_photographer()
     else:
         input_size = INPUT_SIZE
         sculptor = zoo.demo_sculptor()
@@ -284,10 +300,19 @@ def main(argv=None):
             jax.tree_util.tree_structure(template), leaves)
 
     # --------------------------------------------------------------- eval
+    import unseen_eval
+
+    budget = {"cem_samples": args.cem_samples, "cem_iters": args.cem_iters,
+              "cem_elites": args.cem_elites,
+              "refine_samples": args.refine_samples,
+              "refine_iters": args.refine_iters}
+    extra_weights = unseen_eval.extra_weights_from_args(args)
+
     def evaluate_object(params, shape_pool, obj_idx, cloud, n_targets,
                         tag=""):
         """Full-contract estimate on one object: encoder latent from
-        reference views -> CEM coarse -> gradient refine -> ADD-S."""
+        reference views -> CEM coarse -> gradient refine -> ADD-S
+        (tools/unseen_eval.py; oracle-rendered observations)."""
         shape = testing.index_lobe_shape(jax.device_put(shape_pool),
                                          obj_idx)
         model = LatentFusionModel(
@@ -300,63 +325,18 @@ def main(argv=None):
         ref_cams = random_full_cameras(jax.random.PRNGKey(7),
                                        args.eval_views)
         ref_obs = jax.jit(lambda c: oracle_observation(shape, c))(ref_cams)
-        z_obj = model.build_latent_object(ref_obs)
 
-        extra_weights = {
-            k: w for k, w in (("latent", args.rank_latent_weight),
-                              ("mask", args.rank_mask_weight),
-                              ("iou", args.rank_iou_weight)) if w > 0.0}
-        coarse = estimation.CrossEntropyPoseEstimator(
-            model=model, num_gmm_components=6, sample_flipped=True,
-            num_samples=args.cem_samples, num_iters=args.cem_iters,
-            num_elites=args.cem_elites,
-            learning_rate=0.75,
-            loss_weights={"depth": 1.0, **extra_weights},
-            ranking_size=min(16, args.cem_samples))
-        fine = estimation.GradientPoseEstimator(
-            model=model, ranking_size=min(8, args.refine_samples),
-            loss_weights={"depth": 1.0, "ov_depth": 0.3, **extra_weights},
-            learning_rate=0.01, num_samples=args.refine_samples,
-            num_iters=args.refine_iters,
-            converge_threshold=1e-6, converge_patience=25, optimizer="adam")
-
-        points = jnp.asarray(cloud)
-        rows = []
-        ek = jax.random.PRNGKey(55)
-        for t in range(n_targets):
-            ek, k1, k2 = jax.random.split(ek, 3)
+        def make_target(k1):
             gt_cam = testing.make_camera(
                 1, z=CAMERA_DIST, f=615.0, width=640, height=480,
                 quats=quat.random(k1, 1))
             target = jax.jit(
                 lambda c: oracle_observation(shape, c))(gt_cam)
+            return gt_cam, target
 
-            coarse_cams = coarse.estimate(z_obj, target, key=k2)
-            best = fine.estimate(
-                z_obj, target,
-                camera=coarse_cams[:min(args.refine_samples,
-                                        len(coarse_cams))])
-
-            def cam_metrics(c):
-                m = metrics.camera_metrics(gt_cam, c, points,
-                                           scale_to_meters=1.0)
-                return {k: float(m[k]) for k in
-                        ("add_s", "rotation_dist", "translation_dist")}
-
-            row = {"target": t,
-                   "coarse": cam_metrics(coarse_cams[0]),
-                   "refined": cam_metrics(best[0]),
-                   "add_s_01d": bool(cam_metrics(best[0])["add_s"]
-                                     < 0.1 * DIAMETER)}
-            rows.append(row)
-            print(f"{tag}target {t}: "
-                  f"coarse add_s={row['coarse']['add_s']:.4f} "
-                  f"refined={row['refined']['add_s']:.4f} "
-                  f"rot={row['refined']['rotation_dist']:.3f} "
-                  f"trans={row['refined']['translation_dist']:.4f} "
-                  f"0.1d={row['add_s_01d']}", flush=True)
-        acc = float(np.mean([r["add_s_01d"] for r in rows]))
-        return rows, acc
+        return unseen_eval.evaluate_object(
+            model, ref_obs, make_target, cloud, n_targets, budget,
+            extra_weights=extra_weights, diameter=DIAMETER, tag=tag)
 
     def evaluate_split(params, n_targets, tag=""):
         out = {"heldout": [], "train_control": []}
@@ -422,15 +402,9 @@ def main(argv=None):
                     "during training",
         },
         "history": history[-5:],
+        "family": args.family,
         "eval_views": args.eval_views,
-        "search_budget": {
-            "cem_samples": args.cem_samples, "cem_iters": args.cem_iters,
-            "cem_elites": args.cem_elites,
-            "refine_samples": args.refine_samples,
-            "refine_iters": args.refine_iters,
-            "rank_latent_weight": args.rank_latent_weight,
-            "rank_mask_weight": args.rank_mask_weight,
-            "rank_iou_weight": args.rank_iou_weight},
+        "search_budget": unseen_eval.search_budget_record(args),
         "trained_with": "multi-object encoder-in-the-loop distillation "
                         "(one random pool object per step; latent from "
                         "Sculptor.encode + GRUFuser via "
