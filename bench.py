@@ -645,11 +645,37 @@ def bench_full_at_accuracy(args):
         num_samples=16, num_iters=150, converge_threshold=1e-6,
         converge_patience=25, optimizer="adam")
 
+    corrupt = None
+    if args.noisy_masks:
+        # MOPED conditions AT accuracy (VERDICT r4 next #3, BASELINE config
+        # #4): real captures come with imperfect segmentation; corrupt the
+        # TARGET mask with the training mask-noise chain (reference:
+        # augment/masks.py:178-283, train.sh mask-noise p=0.25) and add
+        # depth sensor noise, THEN estimate on the learned checkpoint.
+        from latentfusion_tpu.augment import add_depth_noise
+        from latentfusion_tpu.augment.masks import default_mask_corruption
+        from latentfusion_tpu.observation import Observation
+
+        corrupt = default_mask_corruption()
+        np.random.seed(0)
+
+        def corrupt_target(target):
+            noisy = np.stack([corrupt(np.asarray(m[0]) > 0.5)
+                              for m in np.asarray(target.mask)])
+            depth = np.stack([add_depth_noise(np.asarray(d[0]), 0.01)
+                              for d in np.asarray(target.depth)])
+            return Observation(
+                target.color, jnp.asarray(depth[:, None]),
+                jnp.asarray(noisy[:, None].astype(np.float32)),
+                target.camera, **target.meta)
+
     def run_object(gt_key, est_key):
         gt_cam = testing.make_camera(1, z=camera_dist, f=615.0, width=640,
                                      height=480,
                                      quats=quat.random(gt_key, 1))
         target = jax.jit(oracle.make_observation)(gt_cam)
+        if corrupt is not None:
+            target = corrupt_target(target)
         z_obj = model.build_latent_object(ref_obs)
         coarse_cams = coarse.estimate(z_obj, target, key=est_key)
         best = fine.estimate(z_obj, target, camera=coarse_cams[:16])
@@ -690,6 +716,8 @@ def bench_full_at_accuracy(args):
                     if args.acc_object == "heldout-lobe" else "")
                  + (", latent ranking " + str(args.rank_latent_weight)
                     if args.rank_latent_weight > 0.0 else "")
+                 + (", CORRUPTED target mask+depth (MOPED conditions)"
+                    if args.noisy_masks else "")
                  + f") at ADD-S 0.1d = {acc:.2f} over {len(rows)} targets"),
         "vs_baseline": None,
         "add_s_0.1d": acc,
@@ -699,7 +727,7 @@ def bench_full_at_accuracy(args):
     _append_json(args.json_out, {
         "mode": "full-acc", **record, "targets": rows,
         "checkpoint": str(checkpoint), "object": args.acc_object,
-        "rank_weights": extra_weights,
+        "rank_weights": extra_weights, "noisy_masks": bool(args.noisy_masks),
         "cold_compile_plus_first_object_s": rows[0]["seconds"],
         "device_kind": jax.devices()[0].device_kind,
         "knobs": _knobs(args)})

@@ -198,7 +198,7 @@ class SyntheticDataset:
                  depth_random_background=False, use_spiral_outputs=False,
                  use_constrained_cameras=False, disk_sample_cameras=False,
                  use_model_materials=False, obj_default_pose=OBJ_DEFAULT_POSE,
-                 device_id=0, seed=None):
+                 device_id=0, seed=None, emit_in_gt=True):
         self.width = width
         self.height = height
         if not y_bound:
@@ -218,6 +218,11 @@ class SyntheticDataset:
 
         self.num_inputs = num_input_views
         self.num_outputs = num_output_views
+        # emit_in_gt=False drops the clean input-view group from items —
+        # the reconstruction step only consumes it with reconstruct_input
+        # (train/step.py); skipping it cuts ~30% of the queue bytes on
+        # core-starved hosts.
+        self.emit_in_gt = emit_in_gt
         self.use_spiral_outputs = use_spiral_outputs
         self.use_constrained_cameras = use_constrained_cameras
         self.disk_sample_cameras = disk_sample_cameras
@@ -546,11 +551,14 @@ class SyntheticDataset:
                 "intrinsic": intrinsic_,
             }
 
-        return {
+        item = {
             "in": pack(groups["in"], in_extrinsic, in_intrinsic),
-            "in_gt": pack(groups["in_gt"], in_extrinsic_gt, in_intrinsic),
             "out_gt": pack(groups["out_gt"], out_extrinsic, out_intrinsic),
         }
+        if self.emit_in_gt:
+            item["in_gt"] = pack(groups["in_gt"], in_extrinsic_gt,
+                                 in_intrinsic)
+        return item
 
 
 class ShapeNetDataset(SyntheticDataset):

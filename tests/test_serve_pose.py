@@ -63,6 +63,12 @@ def test_serve_pose_stdio(tmp_path):
          "npz": [str(frame), str(frame2)]},
         {"cmd": "estimate", "id": 4, "object": "missing",
          "npz": str(frame)},
+        # Multi-OBJECT joint batch: frame i against object i's latent.
+        {"cmd": "register", "id": 6, "object": "demo2", "npz": str(refs)},
+        {"cmd": "estimate", "id": 7, "object": ["demo", "demo2"],
+         "npz": [str(frame), str(frame2)]},
+        {"cmd": "estimate", "id": 8, "object": ["demo", "demo2"],
+         "npz": str(frame)},
         {"cmd": "shutdown", "id": 5},
     ]
     stdin = "".join(json.dumps(r) + "\n" for r in requests)
@@ -88,4 +94,10 @@ def test_serve_pose_stdio(tmp_path):
         assert np.isfinite(np.asarray(p["extrinsic"])).all()
     # Unknown object: error reported, server keeps answering (shutdown ok).
     assert not byid[4]["ok"] and "KeyError" in byid[4]["error"]
+    # Multi-object joint batch: one pose per (object, frame) pair.
+    assert byid[7]["ok"] and len(byid[7]["poses"]) == 2
+    for p in byid[7]["poses"]:
+        assert np.isfinite(np.asarray(p["extrinsic"])).all()
+    # Object list without a matching npz list is a protocol error.
+    assert not byid[8]["ok"] and "ValueError" in byid[8]["error"]
     assert byid[5]["ok"] and byid[5]["shutdown"]

@@ -55,6 +55,12 @@ run --mode full-acc              # s/object AT ADD-S accuracy (learned ckpt)
 run --mode full-acc --acc-object heldout-lobe --rank-latent-weight 0.2 \
     --acc-checkpoint artifacts/unseen_objects_pool128/unseen_objects.npz \
     --acc-targets 12
+# MOPED conditions AT accuracy (BASELINE config #4): corrupted target
+# mask + depth noise on the learned checkpoints:
+run --mode full-acc --noisy-masks
+run --mode full-acc --acc-object heldout-lobe --rank-latent-weight 0.2 \
+    --acc-checkpoint artifacts/unseen_objects_pool128/unseen_objects.npz \
+    --acc-targets 12 --noisy-masks
 run --mode train                 # batch-1 train step
 run --mode train --batch 8 --batch-groups 2 --remat   # published batch
 # End-to-end incl. the render loader (this container has ONE host core, so

@@ -18,6 +18,9 @@ Protocol (one JSON object per line):
       Coarse (CEM) + fine (gradient) pose for one target frame.
       With "npz": [f1.npz, f2.npz, ...] the frames are estimated JOINTLY
       via estimate_batch (shared latent, one jitted loop).
+      With "object": [a, b, ...] AND a matching npz list, frame i is
+      estimated against object i's latent — multi-OBJECT joint batch
+      (per-frame poses returned in "poses").
   {"cmd": "ping"} / {"cmd": "shutdown"}
 
 npz layout (numpy archive): color (V, 3, H, W) float [0, 1],
@@ -56,6 +59,11 @@ def parse_args(argv=None):
     p.add_argument("--demo-tiny", action="store_true",
                    help="serve a randomly initialized tiny model "
                         "(protocol/latency testing without weights)")
+    p.add_argument("--demo-npz", type=Path, default=None,
+                   help="learned demo-family params npz (the accuracy "
+                        "rigs' enumerated-leaf checkpoints, e.g. "
+                        "artifacts/unseen_objects_pool128/"
+                        "unseen_objects.npz); builds zoo.demo_* around it")
     p.add_argument("--coarse-config", type=Path,
                    default=Path(__file__).parents[1]
                    / "configs/cross_entropy_quick.toml")
@@ -124,12 +132,27 @@ class PoseService:
             self.model = LatentFusionModel(
                 sculptor, params["sculptor"], fuser, params["fuser"],
                 photographer, params["photographer"], camera_dist=1.5)
+        elif args.demo_npz is not None:
+            from latentfusion_tpu import zoo
+            from latentfusion_tpu.recon.inference import LatentFusionModel
+
+            sculptor = zoo.demo_sculptor()
+            fuser = zoo.demo_fuser()
+            photographer = zoo.demo_photographer()
+            template = zoo.init_recon_params(
+                jax.random.PRNGKey(0), sculptor, fuser, photographer,
+                batch=1, views=2)
+            params = zoo.load_params_npz(args.demo_npz, template)
+            self.model = LatentFusionModel(
+                sculptor, params["sculptor"], fuser, params["fuser"],
+                photographer, params["photographer"],
+                camera_dist=zoo.DEMO_CAMERA_DIST)
         elif args.checkpoint is not None:
             from latentfusion_tpu.recon.inference import LatentFusionModel
 
             self.model = LatentFusionModel.from_checkpoint(args.checkpoint)
         else:
-            raise SystemExit("need --checkpoint or --demo-tiny")
+            raise SystemExit("need --checkpoint, --demo-npz or --demo-tiny")
 
         coarse_cfg = (json.loads(args.coarse_json) if args.coarse_json
                       else args.coarse_config)
@@ -159,17 +182,32 @@ class PoseService:
                         "views": int(obs.color.shape[0]),
                         "seconds": round(time.time() - t0, 3)}
             if cmd == "estimate":
-                z_obj = self.latents[req["object"]]
                 key = jax.random.PRNGKey(int(req.get("seed", 0)))
                 top_k = int(req.get("top_k", self.top_k))
                 npz = req["npz"]
-                if isinstance(npz, (list, tuple)):
+                obj = req["object"]
+                if isinstance(obj, (list, tuple)):
+                    # Multi-OBJECT joint batch: frame i is estimated
+                    # against object i's latent, all hypothesis blocks
+                    # sharing ONE compiled loop (the README's
+                    # estimate_batch extension).
+                    if not (isinstance(npz, (list, tuple))
+                            and len(npz) == len(obj)):
+                        raise ValueError(
+                            "object list needs a matching npz list")
+                    cams = self._estimate_multi(
+                        [self.latents[o] for o in obj],
+                        [observation_from_npz(p) for p in npz],
+                        top_k, key)
+                elif isinstance(npz, (list, tuple)):
                     cams = self._estimate_batch(
-                        z_obj, [observation_from_npz(p) for p in npz],
+                        self.latents[obj],
+                        [observation_from_npz(p) for p in npz],
                         top_k, key)
                 else:
                     cams = [self._estimate_one(
-                        z_obj, observation_from_npz(npz), top_k, key)]
+                        self.latents[obj], observation_from_npz(npz),
+                        top_k, key)]
                 out = [self._pose_payload(c) for c in cams]
                 resp = {"ok": True, "id": rid,
                         "seconds": round(time.time() - t0, 3)}
@@ -190,10 +228,18 @@ class PoseService:
     def _estimate_batch(self, z_obj, observations, top_k, key):
         import jax.numpy as jnp
 
+        z_objs = jnp.concatenate([z_obj] * len(observations), axis=0)
+        return self._estimate_multi_z(z_objs, observations, top_k, key)
+
+    def _estimate_multi(self, z_objs_list, observations, top_k, key):
+        import jax.numpy as jnp
+
+        return self._estimate_multi_z(jnp.concatenate(z_objs_list, axis=0),
+                                      observations, top_k, key)
+
+    def _estimate_multi_z(self, z_objs, observations, top_k, key):
         from latentfusion_tpu.camera import Camera
 
-        n = len(observations)
-        z_objs = jnp.concatenate([z_obj] * n, axis=0)
         coarse_out = self.coarse.estimate_batch(z_objs, observations,
                                                 key=key)
         return self.fine.estimate_batch(

@@ -63,8 +63,8 @@ def main(argv=None):
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--family", choices=["demo", "mid", "tiny"],
                         default="demo")
-    parser.add_argument("--render-width", type=int, default=320)
-    parser.add_argument("--render-height", type=int, default=240)
+    parser.add_argument("--render-width", type=int, default=256)
+    parser.add_argument("--render-height", type=int, default=192)
     parser.add_argument("--workers", type=int, default=1,
                         help="loader worker processes (each owns a "
                              "rasterizer)")
@@ -189,7 +189,11 @@ def main(argv=None):
         mask_noise_p=args.mask_noise_p,
         color_noise_level=args.color_noise_level,
         depth_noise_level=args.depth_noise_level,
-        seed=args.pool_seed)
+        seed=args.pool_seed,
+        # The reconstruction step never reads the clean input-view group
+        # (reconstruct_input=False); dropping it cuts queue bytes ~30% on
+        # this single-core host.
+        emit_in_gt=False)
 
     # ------------------------------------------------------- train step
     config = {
@@ -295,9 +299,13 @@ def main(argv=None):
               file=sys.stderr)
 
         t0 = time.time()
+        nxt = sample_batch()
         for i in range(1, args.steps):
             key, sub = jax.random.split(key)
-            state, aux = step(state, sample_batch(), sub)
+            # Dispatch the (async) step FIRST, then stage the next batch's
+            # host work + device transfer while the chip executes.
+            state, aux = step(state, nxt, sub)
+            nxt = sample_batch()
             if i % 500 == 0 or i == args.steps - 1:
                 row = {"step": i,
                        "loss": float(aux["loss/generator/total"]),
