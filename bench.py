@@ -658,6 +658,8 @@ def bench_full_at_accuracy(args):
 
         corrupt = default_mask_corruption()
         np.random.seed(0)
+        import random as _pyrandom  # add_depth_noise draws its std from
+        _pyrandom.seed(0)           # the stdlib RNG (augment/__init__.py)
 
         def corrupt_target(target):
             noisy = np.stack([corrupt(np.asarray(m[0]) > 0.5)

@@ -67,6 +67,12 @@ def main(argv=None):
                              "encoder-distill npz (same architecture)")
     parser.add_argument("--frame-loss-weight", type=float, default=2.0)
     parser.add_argument("--snapshot-steps", default="")
+    parser.add_argument("--max-seconds", type=float, default=0.0,
+                        help="wall-clock training budget; when exceeded the "
+                             "loop stops at the next 500-step boundary and "
+                             "saves whatever it reached (the cosine LR "
+                             "schedule stays sized for --steps; the actual "
+                             "stop step is recorded in the artifact)")
     parser.add_argument("--curve-targets", type=int, default=4)
     # Eval search budgets (defaults = the published-artifact budgets; the
     # CPU smoke test, tests/test_unseen_objects_smoke.py, shrinks them with
@@ -241,6 +247,7 @@ def main(argv=None):
     pool_dev = jax.device_put(pool)
     history = []
     snapshots = {}
+    stats_steps = None
     if not args.skip_train:
         train_params = init_params(key)
         n_params = sum(int(np.prod(p.shape)) for p in
@@ -271,6 +278,7 @@ def main(argv=None):
               f"loss={float(loss):.3f}", file=sys.stderr)
 
         t0 = time.time()
+        stop_step = args.steps - 1
         for i in range(1, args.steps):
             key, sub = jax.random.split(key)
             train_params, opt_state, loss, aux = step(train_params,
@@ -289,6 +297,12 @@ def main(argv=None):
                       f"f={row['frame_depth']:.4f} "
                       f"({i / (time.time() - t0):.1f} steps/s)",
                       file=sys.stderr, flush=True)
+                if args.max_seconds and time.time() - t0 > args.max_seconds:
+                    stop_step = i
+                    print(f"# wall-clock budget {args.max_seconds:.0f}s "
+                          f"exceeded; stopping at step {i}", file=sys.stderr)
+                    break
+        stats_steps = stop_step + 1
 
         (args.out / "history.json").write_text(json.dumps(history))
         save_npz(train_params, "unseen_objects")
@@ -375,7 +389,7 @@ def main(argv=None):
     heldout_acc = float(np.mean([t["add_s_01d"] for t in held]))
     if snapshot_steps and not args.skip_train:
         curve.append({
-            "step": args.steps,
+            "step": stats_steps,
             "heldout_add_s_0.1d": heldout_acc,
             "heldout_mean_add_s": float(np.mean(
                 [t["refined"]["add_s"] for t in held])),
@@ -403,6 +417,8 @@ def main(argv=None):
         },
         "history": history[-5:],
         "family": args.family,
+        "steps": stats_steps,
+        "steps_requested": args.steps,
         "eval_views": args.eval_views,
         "search_budget": unseen_eval.search_budget_record(args),
         "trained_with": "multi-object encoder-in-the-loop distillation "

@@ -82,6 +82,13 @@ def main(argv=None):
                         help="hard-pixel top-k for the depth loss (the "
                              "reference's 16384 at 256^2 = 25%% of pixels; "
                              "4096 is the same fraction at 128^2)")
+    parser.add_argument("--max-seconds", type=float, default=0.0,
+                        help="wall-clock training budget; when exceeded the "
+                             "loop stops at the next 500-step boundary and "
+                             "saves whatever it reached")
+    parser.add_argument("--save-every", type=int, default=10000,
+                        help="periodic unseen_real.npz saves so an external "
+                             "timeout cannot lose the run")
     parser.add_argument("--eval-targets", type=int, default=6)
     parser.add_argument("--eval-views", type=int, default=16)
     parser.add_argument("--skip-train", action="store_true")
@@ -300,6 +307,7 @@ def main(argv=None):
 
         t0 = time.time()
         nxt = sample_batch()
+        stop_step = args.steps - 1
         for i in range(1, args.steps):
             key, sub = jax.random.split(key)
             # Dispatch the (async) step FIRST, then stage the next batch's
@@ -319,7 +327,16 @@ def main(argv=None):
                       f"fresh={row['fresh_items']} "
                       f"({row['steps_per_s']:.1f} steps/s)",
                       file=sys.stderr, flush=True)
-        stats["steps"] = args.steps
+                if args.save_every and i % args.save_every == 0:
+                    save_npz(state.params, "unseen_real")
+                    (args.out / "history.json").write_text(
+                        json.dumps(history))
+                if args.max_seconds and time.time() - t0 > args.max_seconds:
+                    stop_step = i
+                    print(f"# wall-clock budget {args.max_seconds:.0f}s "
+                          f"exceeded; stopping at step {i}", file=sys.stderr)
+                    break
+        stats["steps"] = stop_step + 1
         params = state.params
         # Orderly pump shutdown BEFORE loader teardown: the inline
         # (workers=0) path renders inside the pump thread, and killing a
