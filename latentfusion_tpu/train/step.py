@@ -180,7 +180,7 @@ def make_recon_train_step(sculptor, fuser, photographer, g_optimizer,
                           discriminator=None, d_optimizer=None,
                           config: Optional[Dict] = None,
                           num_microbatches: int = 1,
-                          state_shardings=None):
+                          state_shardings=None, jit: bool = True):
     """Full training iteration:
 
     process_batch -> optional input masking/noise -> encode -> decode on
@@ -447,7 +447,12 @@ def make_recon_train_step(sculptor, fuser, photographer, g_optimizer,
                 new_state, state_shardings)
         return new_state, scalars
 
-    return jax.jit(step)
+    # jit=False hands back the pure step for embedding inside a larger
+    # compiled region (e.g. the unseen-real rig's K-steps-per-dispatch
+    # lax.fori_loop over a device-resident replay buffer — dispatching one
+    # jitted step per batch leaks ~4 MB of host memory per call on the
+    # tunneled TPU backend, which OOM-killed an 80k-step run).
+    return jax.jit(step) if jit else step
 
 
 def init_gan_train_state(params, g_optimizer, d_params=None,

@@ -68,8 +68,12 @@ def main(argv=None):
     parser.add_argument("--workers", type=int, default=1,
                         help="loader worker processes (each owns a "
                              "rasterizer)")
-    parser.add_argument("--buffer-items", type=int, default=768,
-                        help="replay ring-buffer capacity (items)")
+    parser.add_argument("--buffer-items", type=int, default=256,
+                        help="DEVICE-resident replay ring-buffer capacity "
+                             "(quantized items, ~4 MB each at 256x192)")
+    parser.add_argument("--chunk-steps", type=int, default=200,
+                        help="train steps per compiled dispatch "
+                             "(lax.fori_loop over the device buffer)")
     parser.add_argument("--min-buffer", type=int, default=24,
                         help="items required before training starts")
     parser.add_argument("--mask-noise-p", type=float, default=0.25,
@@ -218,8 +222,13 @@ def main(argv=None):
     }
     opt = make_optimizer("adam", optax.cosine_decay_schedule(
         args.lr, max(args.steps, 1), alpha=0.01))
+    # Unjitted step: it runs INSIDE the chunked fori_loop below (one
+    # dispatch per --chunk-steps, not per step — per-step dispatches with
+    # megabyte numpy operands leak host memory on the tunneled backend;
+    # an earlier 80k-step run was OOM-killed at 129 GB RSS after ~30k
+    # single-step dispatches).
     step = make_recon_train_step(sculptor, fuser, photographer, opt,
-                                 config=config)
+                                 config=config, jit=False)
 
     def save_npz(train_params, path_stem):
         host = jax.device_get(train_params)
@@ -245,31 +254,35 @@ def main(argv=None):
     history = []
     stats = {"fresh_items": 0, "steps": 0}
     if not args.skip_train:
+        from functools import partial
+
         state = init_gan_train_state(params, opt)
 
-        # Replay ring buffer fed by loader workers: the pump thread drains
-        # the worker queue; the train loop samples batches from the buffer.
-        # Quantized transport: the ring buffer holds uint8 color/mask +
-        # f16 depth (4x fewer bytes through the worker queue AND through
-        # the host->device copy on the tunneled backend); the jitted
-        # decode widens on device.
+        # DEVICE-RESIDENT replay ring buffer + K-steps-per-dispatch runner.
+        # The first version of this rig sampled a host-side buffer and
+        # dispatched one jitted step per batch; on the tunneled backend
+        # every dispatch with megabyte numpy operands leaks host memory
+        # (~4 MB/step), and the 80k-step run was OOM-killed at 129 GB RSS
+        # around step 30k. Keeping the quantized ring buffer in HBM
+        # (uint8 color/mask + f16 depth, ~4 MB/item) means the host only
+        # ships FRESH renders (~the render rate, not the step rate) and
+        # the train loop runs as a lax.fori_loop of --chunk-steps steps
+        # per dispatch: 80k steps = a few hundred dispatches, not 80k.
         loader = IterableLoader(dataset, batch_size=1,
                                 num_workers=args.workers,
                                 device_put=False, prefetch=8,
                                 transport="quantized", decode=False)
-        buffer = []
-        buf_lock = threading.Lock()
+        pending = []
+        pend_lock = threading.Lock()
         pump_stop = threading.Event()
 
         def pump():
             for item in loader:
-                with buf_lock:
-                    if len(buffer) >= args.buffer_items:
-                        buffer[stats["fresh_items"]
-                               % args.buffer_items] = item
-                    else:
-                        buffer.append(item)
-                    stats["fresh_items"] += 1
+                with pend_lock:
+                    pending.append(item)
+                    if len(pending) > 512:  # ring buffer is the reservoir
+                        pending.pop(0)
+                stats["fresh_items"] += 1
                 if pump_stop.is_set():
                     return
 
@@ -277,66 +290,109 @@ def main(argv=None):
         pump_thread.start()
         print("# waiting for the render buffer...", file=sys.stderr)
         while True:
-            with buf_lock:
-                if len(buffer) >= args.min_buffer:
+            with pend_lock:
+                if len(pending) >= args.min_buffer:
                     break
             time.sleep(1.0)
 
-        rng = np.random.default_rng(0)
+        def strip(item):  # drop the loader's leading batch-1 axis
+            return jax.tree_util.tree_map(lambda x: np.asarray(x)[0], item)
 
-        def sample_batch():
-            with buf_lock:
-                idx = rng.integers(0, len(buffer), size=args.batch)
-                items = [buffer[i] for i in idx]
-            if args.batch == 1:
-                batch = items[0]
-            else:
-                batch = jax.tree_util.tree_map(
-                    lambda *xs: np.concatenate(xs), *items)
-            # uint8/f16 crosses host->device (1/4 bytes on the tunneled
-            # backend); the jitted decode widens to f32 on the chip.
-            return decode_transport(batch)
+        with pend_lock:
+            fresh = [strip(i) for i in pending]
+            pending.clear()
+        cap = args.buffer_items
+        buffer = jax.tree_util.tree_map(
+            lambda x: jnp.zeros((cap,) + x.shape, x.dtype), fresh[0])
 
-        print("# compiling train step...", file=sys.stderr)
+        @partial(jax.jit, donate_argnums=0)
+        def buffer_write(buffer, item, pos):
+            return jax.tree_util.tree_map(
+                lambda b, f: b.at[pos].set(f), buffer, item)
+
+        written = 0
+
+        def drain_pending():
+            nonlocal buffer, written, fresh
+            with pend_lock:
+                fresh += [strip(i) for i in pending]
+                pending.clear()
+            for it in fresh:
+                buffer = buffer_write(buffer, it, written % cap)
+                written += 1
+            fresh = []
+
+        drain_pending()
+
+        # Aux (loss-scalar) structure without tracing the full forward.
+        probe_batch = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct((1,) + x.shape[1:], x.dtype),
+            buffer)
+        dec_shape = jax.eval_shape(decode_transport, probe_batch)
+        _, aux_shape = jax.eval_shape(step, state, dec_shape,
+                                      jax.random.PRNGKey(0))
+        zero_aux = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((), jnp.float32), aux_shape)
+
+        chunk = max(1, args.chunk_steps)
+
+        @partial(jax.jit, donate_argnums=0)
+        def run_chunk(state, buffer, filled, key):
+            def body(_, carry):
+                state, key, acc = carry
+                key, k_idx, k_step = jax.random.split(key, 3)
+                idx = jax.random.randint(k_idx, (), 0, filled)
+                item = jax.tree_util.tree_map(
+                    lambda b: jax.lax.dynamic_index_in_dim(
+                        b, idx, axis=0, keepdims=True), buffer)
+                state, aux = step(state, decode_transport(item), k_step)
+                acc = jax.tree_util.tree_map(jnp.add, acc, aux)
+                return (state, key, acc)
+
+            state, key, acc = jax.lax.fori_loop(0, chunk, body,
+                                                (state, key, zero_aux))
+            return state, jax.tree_util.tree_map(lambda v: v / chunk, acc)
+
+        print("# compiling chunked train loop...", file=sys.stderr)
         t0 = time.time()
-        state, aux = step(state, sample_batch(), key)
+        key, sub = jax.random.split(key)
+        state, aux = run_chunk(state, buffer, jnp.int32(min(written, cap)),
+                               sub)
         jax.block_until_ready(aux["loss/generator/total"])
-        print(f"# compile+first: {time.time() - t0:.0f}s "
+        print(f"# compile+first chunk ({chunk} steps): "
+              f"{time.time() - t0:.0f}s "
               f"loss={float(aux['loss/generator/total']):.3f}",
               file=sys.stderr)
 
         t0 = time.time()
-        nxt = sample_batch()
-        stop_step = args.steps - 1
-        for i in range(1, args.steps):
+        done = chunk
+        while done < args.steps:
+            drain_pending()
             key, sub = jax.random.split(key)
-            # Dispatch the (async) step FIRST, then stage the next batch's
-            # host work + device transfer while the chip executes.
-            state, aux = step(state, nxt, sub)
-            nxt = sample_batch()
-            if i % 500 == 0 or i == args.steps - 1:
-                row = {"step": i,
-                       "loss": float(aux["loss/generator/total"]),
-                       "depth": float(aux["loss/generator/depth"]),
-                       "mask": float(aux["loss/generator/mask"]),
-                       "fresh_items": stats["fresh_items"],
-                       "steps_per_s": i / (time.time() - t0)}
-                history.append(row)
-                print(f"step {i}: loss={row['loss']:.4f} "
-                      f"d={row['depth']:.4f} m={row['mask']:.4f} "
-                      f"fresh={row['fresh_items']} "
-                      f"({row['steps_per_s']:.1f} steps/s)",
-                      file=sys.stderr, flush=True)
-                if args.save_every and i % args.save_every == 0:
-                    save_npz(state.params, "unseen_real")
-                    (args.out / "history.json").write_text(
-                        json.dumps(history))
-                if args.max_seconds and time.time() - t0 > args.max_seconds:
-                    stop_step = i
-                    print(f"# wall-clock budget {args.max_seconds:.0f}s "
-                          f"exceeded; stopping at step {i}", file=sys.stderr)
-                    break
-        stats["steps"] = stop_step + 1
+            state, aux = run_chunk(state, buffer,
+                                   jnp.int32(min(written, cap)), sub)
+            done += chunk
+            row = {"step": done,
+                   "loss": float(aux["loss/generator/total"]),
+                   "depth": float(aux["loss/generator/depth"]),
+                   "mask": float(aux["loss/generator/mask"]),
+                   "fresh_items": stats["fresh_items"],
+                   "steps_per_s": (done - chunk) / max(time.time() - t0,
+                                                       1e-9)}
+            history.append(row)
+            print(f"step {done}: loss={row['loss']:.4f} "
+                  f"d={row['depth']:.4f} m={row['mask']:.4f} "
+                  f"fresh={row['fresh_items']} "
+                  f"({row['steps_per_s']:.1f} steps/s)",
+                  file=sys.stderr, flush=True)
+            if args.save_every and done % args.save_every < chunk:
+                save_npz(state.params, "unseen_real")
+                (args.out / "history.json").write_text(json.dumps(history))
+            if args.max_seconds and time.time() - t0 > args.max_seconds:
+                print(f"# wall-clock budget {args.max_seconds:.0f}s "
+                      f"exceeded; stopping at step {done}", file=sys.stderr)
+                break
+        stats["steps"] = done
         params = state.params
         # Orderly pump shutdown BEFORE loader teardown: the inline
         # (workers=0) path renders inside the pump thread, and killing a
