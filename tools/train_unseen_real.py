@@ -96,6 +96,10 @@ def main(argv=None):
     parser.add_argument("--eval-targets", type=int, default=6)
     parser.add_argument("--eval-views", type=int, default=16)
     parser.add_argument("--skip-train", action="store_true")
+    parser.add_argument("--resume-npz", type=Path, default=None,
+                        help="warm-start params from a previous run's "
+                             "unseen_real.npz (fresh optimizer state + LR "
+                             "schedule: a cosine warm restart)")
     parser.add_argument("--cem-samples", type=int, default=128)
     parser.add_argument("--cem-iters", type=int, default=10)
     parser.add_argument("--cem-elites", type=int, default=48)
@@ -256,6 +260,9 @@ def main(argv=None):
     if not args.skip_train:
         from functools import partial
 
+        if args.resume_npz is not None:
+            params = load_npz(args.resume_npz, params)
+            print(f"# warm-start from {args.resume_npz}", file=sys.stderr)
         state = init_gan_train_state(params, opt)
 
         # DEVICE-RESIDENT replay ring buffer + K-steps-per-dispatch runner.
