@@ -18,7 +18,8 @@ import pytest
 
 _CHECK = r"""
 import jax, jax.numpy as jnp, numpy as np
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+from latentfusion_tpu import enable_compilation_cache
+enable_compilation_cache()
 assert jax.devices()[0].platform != "cpu", (
     "no accelerator visible: " + repr(jax.devices()))
 from latentfusion_tpu.ops.pallas_fused_sample import grid_sample_3d_fused

@@ -10,7 +10,8 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+from latentfusion_tpu import enable_compilation_cache
+enable_compilation_cache()
 
 from latentfusion_tpu import dtypes, testing, zoo
 from latentfusion_tpu.pose import estimation

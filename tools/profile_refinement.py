@@ -59,7 +59,8 @@ def main():
         import jax
         import jax.numpy as jnp
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        from latentfusion_tpu import enable_compilation_cache
+        enable_compilation_cache()
 
         from latentfusion_tpu import dtypes, testing, zoo
         from latentfusion_tpu.pose import estimation

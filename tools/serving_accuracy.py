@@ -50,8 +50,8 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     else:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/jax_bench_cache")
+        from latentfusion_tpu import enable_compilation_cache
+        enable_compilation_cache()
 
     from latentfusion_tpu import dtypes, testing, zoo
     from latentfusion_tpu.camera import Camera

@@ -101,7 +101,8 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    from latentfusion_tpu import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from latentfusion_tpu import dtypes, three, zoo

@@ -121,8 +121,8 @@ def main(argv=None):
         # features and stale AOT entries spam feature-mismatch errors.
         jax.config.update("jax_platforms", "cpu")
     else:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/jax_bench_cache")
+        from latentfusion_tpu import enable_compilation_cache
+        enable_compilation_cache()
     import jax.numpy as jnp
     import optax
 
