@@ -56,6 +56,8 @@ GATE_PINS = [
     (r"lifts held-out to (\d+)/(\d+)\n",
      "artifacts/unseen_objects_pool128/slow_budget/pose_eval.json",
      "heldout_add_s_0.1d"),
+    (r"mid family, 67\.4M params\*\* [^|]*\| 150k \| (\d+)/(\d+) \(",
+     "artifacts/unseen_objects_mid/pose_eval.json", "heldout_add_s_0.1d"),
     (r"encoder in\s+the loop: ADD-S 0\.1d = (\d+)/(\d+)\*\*",
      "artifacts/encoder_distill/pose_eval.json", "add_s_0.1d"),
 ]
