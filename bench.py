@@ -132,7 +132,8 @@ def _knobs(args):
             "refine_unroll": args.refine_unroll,
             "layout": args.layout,
             "volume_backend": args.volume_backend,
-            "lrelu_pnorm_backend": args.lrelu_pnorm_backend}
+            "lrelu_pnorm_backend": args.lrelu_pnorm_backend,
+            "compiler_options": args.compiler_option or None}
 
 
 def main():
@@ -197,6 +198,15 @@ def main():
                         choices=["xla", "pallas", "unfused"],
                         help="fused leaky_relu+PixelNorm backend A/B "
                              "(modules.set_lrelu_pnorm_backend)")
+    parser.add_argument("--compiler-option", action="append", default=[],
+                        metavar="KEY=VAL",
+                        help="per-compile XLA option for the hot estimator "
+                             "loops (repeatable; e.g. "
+                             "xla_tpu_scoped_vmem_limit_kib=65536). The "
+                             "only way to reach server-side TPU compiler "
+                             "knobs on tunneled backends, where XLA_FLAGS "
+                             "is parsed locally and aborts on TPU-only "
+                             "flags (dtypes.set_compiler_options)")
     parser.add_argument("--refine-remat", action="store_true",
                         help="rematerialize the refinement decode in the "
                              "backward (estimation.set_refine_remat)")
@@ -260,6 +270,10 @@ def main():
 
     if not args.fp32:
         dtypes.set_compute_dtype("bfloat16")
+
+    if args.compiler_option:
+        dtypes.set_compiler_options(dict(
+            kv.split("=", 1) for kv in args.compiler_option))
 
     if args.mode == "full-acc":
         return bench_full_at_accuracy(args)

@@ -21,3 +21,24 @@ def set_compute_dtype(dtype) -> None:
 
 def get_compute_dtype():
     return _COMPUTE_DTYPE
+
+
+# --------------------------------------------------------- compiler options
+# Per-executable XLA compiler options for the HOT estimator loops.
+# On tunneled backends (axon) server-side TPU flags cannot be passed via
+# XLA_FLAGS — the local parse aborts on unknown flags — but PJRT forwards
+# per-compile options (jit(..., compiler_options=...)) to the server
+# compiler. bench.py exposes this as --compiler-option KEY=VAL for A/B
+# sweeps (e.g. xla_tpu_scoped_vmem_limit_kib, the fusion emitter's scoped
+# VMEM budget).
+
+_COMPILER_OPTIONS: dict | None = None
+
+
+def set_compiler_options(options: dict | None) -> None:
+    global _COMPILER_OPTIONS
+    _COMPILER_OPTIONS = dict(options) if options else None
+
+
+def get_compiler_options() -> dict | None:
+    return _COMPILER_OPTIONS

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .. import distances
+from .. import distances, dtypes
 from ..camera import Camera
 from ..observation import Observation
 from ..utils import ExponentialScheduler, LinearScheduler
@@ -41,6 +41,29 @@ DEFAULT_TRANSLATION_STD = 0.01
 DEFAULT_QUATERION_STD = 10.0 / 180.0 * math.pi
 
 logger = logging.getLogger(__name__)
+
+
+# Round-5 sweep on TPU v5e (artifacts/xla_flag_sweep.json): doubling the
+# fusion emitter's scoped-VMEM budget to 64 MiB is worth +3.3% on the
+# 8-hyp fwd+bwd refinement loop (1032 -> 1066 hyp/s) and +1.2% on the
+# 128-hyp CEM forward loop; 96/128 MiB regress (-2%/-13%, starves
+# double-buffering). Applied as the default for the hot loops on
+# non-CPU/GPU backends; dtypes.set_compiler_options overrides.
+_TPU_DEFAULT_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+
+
+def _hot_jit(fun, **kwargs):
+    """jit for the hot estimator loops, honoring dtypes.set_compiler_options
+    (per-compile XLA options forwarded through PJRT — the only way to reach
+    server-side TPU compiler knobs on tunneled backends, where XLA_FLAGS is
+    parsed locally and aborts on TPU-only flags)."""
+    opts = dtypes.get_compiler_options()
+    if opts is None and jax.default_backend() not in ("cpu", "gpu", "cuda",
+                                                      "rocm"):
+        opts = _TPU_DEFAULT_COMPILER_OPTIONS
+    if opts:
+        kwargs.setdefault("compiler_options", opts)
+    return jax.jit(fun, **kwargs)
 
 # Jitted camera-only zoom (host-side eager ops are expensive on tunneled TPU
 # backends; target_size/dist are plain multipliers so they can be traced).
@@ -567,7 +590,7 @@ class MetropolisPoseEstimator(PoseEstimator):
                 state = jax.lax.fori_loop(0, self.num_iters, body, state)
                 return state[3]
 
-            self._run_jit = jax.jit(run)
+            self._run_jit = _hot_jit(run)
 
         camera, z_obj, target_obs = self._shard_hypotheses(camera, z_obj,
                                                            target_obs)
@@ -655,7 +678,7 @@ class MetropolisPoseEstimator(PoseEstimator):
         if not hasattr(self, "_run_batch_cache"):
             self._run_batch_cache = {}
         if jit_key not in self._run_batch_cache:
-            self._run_batch_cache[jit_key] = jax.jit(run)
+            self._run_batch_cache[jit_key] = _hot_jit(run)
         sharded_cameras, z_objs, target = self._shard_hypotheses(
             cameras, z_objs, target)
         with self._mesh_ctx():
@@ -812,7 +835,7 @@ class CrossEntropyPoseEstimator(PoseEstimator):
 
         if cameras is None and self.mesh is None:
             if getattr(self, "_run_obs_jit", None) is None:
-                self._run_obs_jit = jax.jit(run_from_obs)
+                self._run_obs_jit = _hot_jit(run_from_obs)
             ranking, camera_init = self._run_obs_jit(key, z_obj, target_obs)
             logger.info("best camera loss=%s", ranking.losses[0])
             return _ranking_to_camera_jit(ranking, camera_init)
@@ -830,7 +853,7 @@ class CrossEntropyPoseEstimator(PoseEstimator):
                 hemisphere=self.init_hemisphere,
                 key=sub)
         if self._run_jit is None:
-            self._run_jit = jax.jit(run)
+            self._run_jit = _hot_jit(run)
         init_params, z_obj, target_obs = self._shard_hypotheses(
             self._camera_to_params(init_cameras), z_obj, target_obs)
         with self._mesh_ctx():
@@ -878,7 +901,7 @@ class CrossEntropyPoseEstimator(PoseEstimator):
 
         jit_key = (num_objects,)
         if jit_key not in self._run_batch_cache:
-            self._run_batch_cache[jit_key] = jax.jit(
+            self._run_batch_cache[jit_key] = _hot_jit(
                 self._make_batch_run(num_objects))
         if self.mesh is not None:
             from .. import parallel
@@ -1336,7 +1359,7 @@ class GradientPoseEstimator(PoseEstimator):
         # Cache the jitted loop: re-creating jax.jit per call would retrace
         # the full decode fwd+bwd graph every estimate() (~16s fixed cost
         # measured on the tunneled TPU backend).
-        run_jit = jax.jit(run)
+        run_jit = _hot_jit(run)
         self._run_cache[jit_key] = run_jit
         init_params = pu.camera_params(cameras, optimize_viewport=True)
         (init_params, cameras), z_obj, target_obs = (
